@@ -122,13 +122,36 @@ def _fnv1a32(data: bytes, seed: int = _FNV_OFFSET_32) -> int:
 def bloem_bit_indexes(value: bytes, size_bits: int, slices: int) -> list[int]:
     """Bit positions `bloem` sets for *value* in an m-bit, k-slice filter.
 
-    bloem computes two 32-bit FNV-1a hashes — ``h1 = fnv1a(data)`` and
-    ``h2 = fnv1a(data, seed=h1)`` — then Kirsch-Mitzenmacher
-    ``g_i = (h1 + i*h2) mod m`` for i in 0..k-1.
+    Reconstruction of the public npm ``bloem`` package: two seeded 32-bit
+    FNV-1a hashes — ``h1 = fnv1a(b'S' + data)``, ``h2 = fnv1a(b'W' + data)``
+    (the package streams the seed buffer then the key through the ``fnv``
+    module, whose shift-based multiply equals FNV-1a mod 2^32) — combined
+    Kirsch-Mitzenmacher style: ``g_i = (h1 + i*h2) mod m``. Bit layout is
+    LSB-first within each byte (``bitbuffer``: ``buf[i>>3] |= 1 << (i&7)``).
+
+    The reference's own unit tests only assert round-trip membership
+    (``test/unit/summary/DatasetSummaryBloom-test.ts:29-47``), which our
+    filters satisfy by construction; byte-level parity follows this
+    reconstruction of bloem's hashing.
     """
-    h1 = _fnv1a32(value)
-    h2 = _fnv1a32(value, seed=h1)
+    h1 = _fnv1a32(b"S" + value)
+    h2 = _fnv1a32(b"W" + value)
     return [(h1 + i * h2) % size_bits for i in range(slices)]
+
+
+def bloem_bitfield(values: list[bytes], size_bits: int, slices: int) -> bytes:
+    """Build the bloem-layout bitfield for a set of member values."""
+    buf = bytearray(size_bits // 8)
+    for v in values:
+        for idx in bloem_bit_indexes(v, size_bits, slices):
+            buf[idx >> 3] |= 1 << (idx & 7)
+    return bytes(buf)
+
+
+def bloem_has(bitfield: bytes, value: bytes, size_bits: int, slices: int) -> bool:
+    return all(
+        bitfield[i >> 3] & (1 << (i & 7)) for i in bloem_bit_indexes(value, size_bits, slices)
+    )
 
 
 # ---------------------------------------------------------------------------

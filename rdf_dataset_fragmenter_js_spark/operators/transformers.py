@@ -128,10 +128,12 @@ def blank_to_named(pattern: str, replacement: str) -> Transformer:
                 continue  # predicates/graphs are never blank in reference data
             replaced = replace_first_col(F.col(value_col), pattern, replacement)
             changed = (F.col(type_col) == BLANK_NODE) & (replaced != F.col(value_col))
-            out = out.withColumn(
-                type_col, F.when(changed, F.lit(NAMED_NODE)).otherwise(F.col(type_col))
-            ).withColumn(
-                value_col, F.when(changed, replaced).otherwise(F.col(value_col))
+            # single select: both columns derive from the ORIGINAL type/value
+            out = out.withColumns(
+                {
+                    type_col: F.when(changed, F.lit(NAMED_NODE)).otherwise(F.col(type_col)),
+                    value_col: F.when(changed, replaced).otherwise(F.col(value_col)),
+                }
             )
         return out
 
