@@ -1,0 +1,156 @@
+"""Extraction stages: HTML → text (byte-exact), mention detection,
+entity-link scoring, OpenIE-style triple extraction.
+
+All stages are Arrow-batched ``mapInPandas`` / pandas UDFs operating on
+whole record batches with vectorized pandas string ops — the designated
+"slow path" of the engine (``input_hint``: vectorized pandas/Arrow UDFs, no
+per-row Python crossing). Each batch stays columnar end-to-end.
+
+The module also hosts the frozen *reference extractor*
+(:func:`reference_extract_triples`) — a plain single-threaded Python
+implementation of the same extraction rules. The Spark pipeline is scored
+against it (triple P/R ≥ 0.95, byte-identical text per url, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Frozen extraction rules (the "trafilatura-style rules frozen in-repo",
+# SURVEY.md §7 Phase 4): main content is the first <article>…</article>
+# block with tags stripped and HTML entities unescaped.
+_ARTICLE_RE = re.compile(rb"<article>(.*?)</article>", re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+#: mention: capitalized word runs, allowing embedded initials ("A. Johnson",
+#: "Alice R. Johnson").
+MENTION_RE = re.compile(r"\b(?:[A-Z][a-z]+|[A-Z]\.)(?:\s+(?:[A-Z][a-z]+|[A-Z]\.))*\b")
+
+#: closed predicate lexicon for SVO extraction (slug, phrase)
+PREDICATE_LEXICON = [
+    ("works_for", "works for"),
+    ("founded", "founded"),
+    ("lives_in", "lives in"),
+    ("acquired", "acquired"),
+    ("married", "married"),
+]
+
+_SVO_RE = re.compile(
+    r"(?P<s>(?:[A-Z][a-z]+|[A-Z]\.)(?:\s+(?:[A-Z][a-z]+|[A-Z]\.))*)\s+"
+    r"(?P<p>" + "|".join(re.escape(p) for _, p in PREDICATE_LEXICON) + r")\s+"
+    r"(?P<o>(?:[A-Z][a-z]+|[A-Z]\.)(?:\s+(?:[A-Z][a-z]+|[A-Z]\.))*)"
+)
+
+_PHRASE_TO_SLUG = {p: slug for slug, p in PREDICATE_LEXICON}
+
+
+def extract_text_bytes(html_bytes: bytes) -> str:
+    """Frozen text-extraction rule applied to one page (shared by the Spark
+    UDF and the reference extractor — the byte-identical contract)."""
+    m = _ARTICLE_RE.search(html_bytes)
+    body = m.group(1) if m else b""
+    stripped = _TAG_RE.sub("", body.decode("utf-8", errors="replace"))
+    return html_mod.unescape(stripped)
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """html binary → extracted_text, Arrow-batched."""
+    schema = "url string, warc_ts timestamp, extracted_text string, lang string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "extracted_text": pdf["html"].map(extract_text_bytes),
+                    "lang": pdf["lang"],
+                }
+            )
+            yield out
+
+    return pages.mapInPandas(batches, schema=schema)
+
+
+def detect_mentions(texts: DataFrame, text_col: str = "extracted_text") -> DataFrame:
+    """(url, mention, m_pos) rows via vectorized ``str.findall``."""
+    schema = "url string, mention string, m_pos long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            found = pdf[text_col].map(
+                lambda t: [(m.group(0), m.start()) for m in MENTION_RE.finditer(t or "")]
+            )
+            exploded = pdf[["url"]].assign(m=found).explode("m").dropna(subset=["m"])
+            if len(exploded) == 0:
+                yield pd.DataFrame({"url": [], "mention": [], "m_pos": []}).astype(
+                    {"url": object, "mention": object, "m_pos": "int64"}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "url": exploded["url"].to_numpy(),
+                    "mention": [m[0] for m in exploded["m"]],
+                    "m_pos": [m[1] for m in exploded["m"]],
+                }
+            )
+
+    return texts.mapInPandas(batches, schema=schema)
+
+
+def extract_triples(texts: DataFrame, text_col: str = "extracted_text") -> DataFrame:
+    """OpenIE-style SVO extraction against the closed predicate lexicon.
+    Returns (url, subj_surface, pred, obj_surface) — surfaces are linked /
+    canonicalized downstream."""
+    schema = "url string, subj_surface string, pred string, obj_surface string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"url": [], "subj_surface": [], "pred": [], "obj_surface": []}
+            for url, text in zip(pdf["url"], pdf[text_col]):
+                for m in _SVO_RE.finditer(text or ""):
+                    rows["url"].append(url)
+                    rows["subj_surface"].append(m.group("s"))
+                    rows["pred"].append(_PHRASE_TO_SLUG[m.group("p")])
+                    rows["obj_surface"].append(m.group("o"))
+            yield pd.DataFrame(rows)
+
+    return texts.mapInPandas(batches, schema=schema)
+
+
+def link_score_col(mention_col, canonical_name_col):
+    """Entity-link score: trigram Jaccard between the normalized mention and
+    the candidate canonical name — a pure column expression (JVM-side), used
+    to rank candidate links."""
+    def grams(c):
+        norm = F.regexp_replace(F.lower(c), r"[^a-z]", "")
+        idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - 2, F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda p: F.substring(norm, p, 3)))
+
+    a, b = grams(mention_col), grams(canonical_name_col)
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.round(inter / F.greatest(union, F.lit(1)), 6)
+
+
+# ---------------------------------------------------------------------------
+# Reference extractor (single-threaded, frozen) — scoring target
+# ---------------------------------------------------------------------------
+
+
+def reference_extract_triples(pages: list[tuple[str, bytes]]) -> list[tuple[str, str, str, str]]:
+    """Plain-Python reference implementation over (url, html) pairs: the
+    P/R ≥ 0.95 target for the Spark pipeline (BASELINE.md). Identical frozen
+    rules, no Spark."""
+    out = []
+    for url, html_bytes in pages:
+        text = extract_text_bytes(html_bytes)
+        for m in _SVO_RE.finditer(text):
+            out.append((url, m.group("s"), _PHRASE_TO_SLUG[m.group("p")], m.group("o")))
+    return out

@@ -142,6 +142,23 @@ def _vocab(col):
     return F.regexp_replace(col, _VOCAB_TRIM, "")
 
 
+def void_property_partitions(quads_with_dataset: DataFrame, exact: bool = True) -> DataFrame:
+    """The per-(dataset, predicate) VoID partition statistics
+    (``DatasetSummaryVoID.ts:58-99,139-165``): quad count + exact distinct
+    subjects/objects. Exposed separately — it is the engine's canonical
+    grouped-aggregation operator."""
+    cd = F.countDistinct if exact else (lambda c: F.approx_count_distinct(c))
+    subj_ok = F.col("s_type").isin(NAMED_NODE, BLANK_NODE)
+    obj_ok = F.col("o_type").isin(NAMED_NODE, BLANK_NODE, LITERAL)
+    s_str = _term_str(F.col("s_type"), F.col("s"))
+    o_str = _term_str(F.col("o_type"), F.col("o"), F.col("o_datatype"), F.col("o_lang"))
+    return quads_with_dataset.groupBy("dataset", "p").agg(
+        F.count(F.lit(1)).alias("triples"),
+        cd(F.when(subj_ok, s_str)).alias("distinct_subjects"),
+        cd(F.when(obj_ok, o_str)).alias("distinct_objects"),
+    )
+
+
 def void_summary(quads_with_dataset: DataFrame, exact: bool = True) -> DataFrame:
     """Per-dataset VoID summary quads (``DatasetSummaryVoID.ts:104-175``),
     routed at ``doc = dataset``. Input must carry a ``dataset`` column
@@ -171,11 +188,9 @@ def void_summary(quads_with_dataset: DataFrame, exact: bool = True) -> DataFrame
         ).alias("vocabularies"),
     )
 
-    pred = q.groupBy("dataset", "p").agg(
-        F.count(F.lit(1)).alias("triples"),
-        cd(F.when(subj_ok, s_str)).alias("distinct_subjects"),
-        cd(F.when(obj_ok, o_str)).alias("distinct_objects"),
-    ).withColumn("partition_iri", F.concat(F.col("dataset"), F.lit("#"), _murmur_hex(F.col("p"))))
+    pred = void_property_partitions(q, exact=exact).withColumn(
+        "partition_iri", F.concat(F.col("dataset"), F.lit("#"), _murmur_hex(F.col("p")))
+    )
 
     cls = (
         q.filter(is_type_quad)

@@ -1,0 +1,233 @@
+"""Deduplication operators for document tables.
+
+All operators take a DataFrame with (id_col, text_col) and are pure
+DataFrame plans:
+
+* exact duplicates — hash-groupBy on md5(text); one shuffle, map-side
+  partial aggregation;
+* MinHash + LSH — char-shingles → k salted-md5 minima → banded signatures →
+  bucket self-join (candidates only meet inside a bucket: the join key is
+  the band hash, so the shuffle is ~linear in data size, never the
+  quadratic all-pairs);
+* SimHash — 16-bit token-hash sign aggregate, useful as a cheap near-dup
+  blocking key;
+* n-gram Jaccard — exact verification on LSH candidates (the classic
+  two-stage near-dup pipeline: LSH recall, Jaccard precision);
+* embedding cosine near-dup — see similarity.py.
+
+At 100 TB: every stage is shuffle-bounded by (doc count × k) small rows;
+shingle explosion happens inside a single stage and is reduced by the
+min() aggregate before any shuffle leaves the map side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups via content hash. Returns
+    (doc_id, content_hash, canonical_id, is_duplicate) — canonical = min id
+    per hash (deterministic)."""
+    h = F.md5(F.col(text_col).cast("binary")).alias("content_hash")
+    with_hash = docs.select(F.col(id_col).alias("doc_id"), h)
+    canon = with_hash.groupBy("content_hash").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        with_hash.join(canon, on="content_hash")
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "content_hash", "canonical_id", "is_duplicate")
+    )
+
+
+def char_shingles(
+    docs: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct char n-gram shingles per document (doc_id, shingle)."""
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(1))
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(positions).alias("pos"),
+            F.col(text_col),
+        )
+        .select("doc_id", F.substring(F.col(text_col), F.col("pos"), n).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 8,
+    shingle_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: permutation i is simulated by
+    salting — ``min(md5(i || ':' || shingle))`` (lexicographic min of hex
+    digests ≡ min over a random permutation of shingle space). Returns
+    (doc_id, mh_0..mh_{k-1}). One explode + one groupBy; the min() combines
+    map-side so the shuffle carries k×32 bytes per doc."""
+    sh = char_shingles(docs, n=shingle_size, id_col=id_col, text_col=text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    shingle_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH banding: split the k-row signature into ``bands`` bands of k/bands
+    rows; docs sharing ANY band key are candidates. Returns distinct
+    (doc_a, doc_b) with doc_a < doc_b. The self-join is keyed on the band
+    hash — co-located by the shuffle, never all-pairs."""
+    assert k % bands == 0
+    rows = k // bands
+    sig = minhash_signatures(docs, k=k, shingle_size=shingle_size, id_col=id_col, text_col=text_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]).cast("binary")
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col("doc_id"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    shingle_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard similarity over char-shingle sets for candidate pairs
+    (doc_a, doc_b). Returns (doc_a, doc_b, jaccard rounded to 4dp)."""
+    sh = char_shingles(docs, n=shingle_size, id_col=id_col, text_col=text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    inter = (
+        candidates.join(a_sh, on="doc_a")
+        .join(b_sh, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # jaccard scaled to basis points via pure integer arithmetic — exact and
+    # identical across engines (decimal round() is not: Spark rounds the
+    # shortest decimal string HALF_UP, DuckDB rounds the binary double).
+    return (
+        inter.join(na, on="doc_a")
+        .join(nb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.col("inter") * 10000 / (F.col("na") + F.col("nb") - F.col("inter"))
+            )
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )
+
+
+def simhash16(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash over whitespace tokens, md5-derived bit values
+    (engine-portable). Returns (doc_id, simhash) with the hash as a 16-char
+    '0'/'1' string (MSB first). Useful as a blocking key: near-identical
+    documents agree on most bits."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    # md5 hex chars 1..4 → 16 bits; bit j of char i = nibble & (1 << j)
+    h = F.md5(F.col("tok").cast("binary"))
+    cols = []
+    for i in range(4):
+        nibble = F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+        for j in range(4):
+            # floor-division keeps bit extraction identical across engines
+            bit = (F.floor(nibble / (2**j)) % 2).alias(f"bit_{i * 4 + j}")
+            cols.append(bit)
+    bits = toks.select("doc_id", *cols)
+    aggs = [
+        F.when(F.sum(F.when(F.col(f"bit_{b}") == 1, 1).otherwise(-1)) > 0, "1")
+        .otherwise("0")
+        .alias(f"sb_{b}")
+        for b in range(16)
+    ]
+    return bits.groupBy("doc_id").agg(*aggs).select(
+        "doc_id", F.concat(*[F.col(f"sb_{b}") for b in range(16)]).alias("simhash")
+    )
+
+
+def near_dup_clusters(pairs: DataFrame, threshold_pairs: DataFrame | None = None) -> DataFrame:
+    """Connected components over near-dup pairs (doc_a, doc_b) → cluster
+    representative per doc: iterative min-label propagation (small number of
+    iterations; checkpointed). Returns (doc_id, cluster_id)."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster_id", "old"), on="doc_id")
+            .filter(F.col("cluster_id") != F.col("old"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels
