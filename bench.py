@@ -1,0 +1,111 @@
+"""Benchmark harness. Runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+The headline metric is KG-pipeline throughput (triples/sec) over the
+deterministic synthetic web-page corpus sized to the sf; per-query wall
+times cover the representative operator families. Full materialization is
+forced through the noop sink (count() would let Catalyst prune the very
+columns being benchmarked).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: pages per unit sf — sf0.1 → 30,000 pages (~60k triples)
+PAGES_PER_SF = 300_000
+
+HEADLINE = [
+    "frag_subject",
+    "frag_subject_bnodes",
+    "frag_resource_object",
+    "transform_remap_resource",
+    "summary_void_properties",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "sim_cosine_topk",
+    "events_sessionize",
+]
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("rdf-dataset-fragmenter-js-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def kg_throughput(spark, sf: float) -> tuple[float, int, float]:
+    """Run the KG construction pipeline on a corpus sized to sf; returns
+    (triples_per_sec, n_triples, seconds)."""
+    from rdf_dataset_fragmenter_js_spark.kg.pipeline import build_quads
+    from rdf_dataset_fragmenter_js_spark.kg.webpages import synthetic_webpages
+
+    n_pages = max(int(PAGES_PER_SF * sf), 1000)
+    pages = synthetic_webpages(spark, n_pages, pods=max(n_pages // 100, 10))
+    t0 = time.time()
+    quads = build_quads(pages)
+    n_triples = quads.count()
+    sec = time.time() - t0
+    return (n_triples / sec if sec > 0 else 0.0, n_triples, sec)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qfns = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(qfns[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    tps, n_triples, kg_sec = kg_throughput(spark, sf)
+    timings["kg_pipeline"] = round(kg_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "kg_triples_per_sec",
+        "value": round(tps, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "total_sec": total,
+        "kg_triples": n_triples,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -21,12 +21,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rdf_dataset_fragmenter_js_spark.textops.dedup import (
-    lsh_candidate_pairs,
+    char_shingles,
     near_dup_clusters,
-    ngram_jaccard_pairs,
 )
 
 SALTS = 64
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, candidates: DataFrame, shingle_size: int = 3
+) -> DataFrame:
+    """Char n-gram containment |A∩B| / min(|A|,|B|) for candidate pairs,
+    scaled to basis points (exact integer arithmetic)."""
+    sh = char_shingles(docs, n=shingle_size)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(a_sh, on="doc_a")
+        .join(b_sh, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, on="doc_a")
+        .join(nb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("inter") * 10000 / F.least(F.col("na"), F.col("nb")))
+            .cast("long")
+            .alias("containment_bp"),
+        )
+    )
 
 
 def normalize_surface_col(col):
@@ -57,30 +86,60 @@ def surface_counts(mentions: DataFrame, surface_col: str = "surface") -> DataFra
 def canonical_mapping(
     mentions: DataFrame,
     surface_col: str = "surface",
-    jaccard_threshold: float = 0.5,
+    containment_threshold: float = 0.7,
 ) -> DataFrame:
     """Build the surface → canonical-id mapping. Returns
-    (norm, canonical_id). MinHash-LSH proposes cross-form candidates; exact
-    shingle Jaccard filters them; connected components merge transitive
-    clusters."""
+    (norm, canonical_id).
+
+    Candidate generation is token blocking (first + last token of the
+    normalized form — abbreviation aliases always share one); verification
+    is character-trigram CONTAINMENT ``|A∩B| / min(|A|,|B|)`` — the right
+    metric for abbreviation aliases ('diaz' ⊂ 'carol diaz' scores 1.0 where
+    Jaccard scores 0.25). Connected components merge transitive clusters;
+    cluster id = lexicographic-min member.
+
+    Scale: blocks are bounded (hot surname blocks can be capped/salted); the
+    pair join happens inside blocks only. An alternative MinHash-LSH
+    candidate path is available in textops.dedup for longer texts."""
     forms = (
         mentions.select(normalize_surface_col(F.col(surface_col)).alias("norm"))
         .filter(F.col("norm") != "")
         .distinct()
     )
     docs = forms.select(F.col("norm").alias("doc_id"), F.col("norm").alias("text"))
-    pairs = lsh_candidate_pairs(docs, k=8, bands=4, shingle_size=3)
-    verified = ngram_jaccard_pairs(docs, pairs, shingle_size=3).filter(
-        F.col("jaccard_bp") >= int(jaccard_threshold * 10000)
+    toks = F.split(F.col("doc_id"), " ")
+    blocked = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.array(F.element_at(toks, 1), F.element_at(toks, -1)))
+        ).alias("block"),
+    )
+    a = blocked.select(F.col("doc_id").alias("doc_a"), "block")
+    b = blocked.select(F.col("doc_id").alias("doc_b"), "block")
+    pairs = (
+        a.join(b, on="block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = ngram_containment_pairs(docs, pairs, shingle_size=3).filter(
+        F.col("containment_bp") >= int(containment_threshold * 10000)
     )
     clusters = near_dup_clusters(verified.select("doc_a", "doc_b"))
-    mapping = forms.join(
-        clusters.withColumnRenamed("doc_id", "norm").withColumnRenamed(
-            "cluster_id", "canonical_id"
-        ),
-        on="norm",
-        how="left",
-    ).select("norm", F.coalesce(F.col("canonical_id"), F.col("norm")).alias("canonical_id"))
+    # cluster representative = LONGEST member (most specific surface form),
+    # ties broken lexicographically — 'emma brown' represents {'emma brown',
+    # 'brown'}, not the abbreviation.
+    reps = clusters.groupBy("cluster_id").agg(
+        F.min_by("doc_id", F.struct((-F.length("doc_id")).alias("l"), F.col("doc_id"))).alias(
+            "rep"
+        )
+    )
+    labeled = clusters.join(reps, on="cluster_id").select(
+        F.col("doc_id").alias("norm"), F.col("rep").alias("canonical_id")
+    )
+    mapping = forms.join(labeled, on="norm", how="left").select(
+        "norm", F.coalesce(F.col("canonical_id"), F.col("norm")).alias("canonical_id")
+    )
     return mapping.withColumn(
         "canonical_id", F.regexp_replace(F.col("canonical_id"), " ", "_")
     )

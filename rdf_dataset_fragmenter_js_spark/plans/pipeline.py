@@ -1,0 +1,189 @@
+"""Pipeline-spec compiler: the reference's componentsjs JSON-LD config
+(``config/config-example.json``, ``lib/CliRunner.ts:11-19``) re-expressed as
+a declarative JSON spec compiled to ONE lazy DataFrame plan.
+
+The reference instantiates an object graph and pumps a quad stream through
+it; here the same ``@type`` names compile to DataFrame combinators, so the
+whole configured pipeline is a single Catalyst-optimized logical plan:
+read → transformers (fused select/filter/union stages) → strategy routing →
+sink (path mapping + partitioned write).
+
+A user of the reference can port a config by keeping the same @type names
+and options. Unsupported reference types raise with the file:line of the
+reference component they correspond to.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rdf_dataset_fragmenter_js_spark.operators import transformers as T
+from rdf_dataset_fragmenter_js_spark.operators import stateful as ST
+from rdf_dataset_fragmenter_js_spark.operators.matchers import (
+    match_predicate,
+    match_resource_type,
+    match_term_value,
+)
+from rdf_dataset_fragmenter_js_spark.sinks.paths import map_doc_to_path, write_fragments
+from rdf_dataset_fragmenter_js_spark.sources.nquads import composite_source, read_nquads
+from rdf_dataset_fragmenter_js_spark.strategies import (
+    route_composite,
+    route_constant,
+    route_exception,
+    route_object,
+    route_resource_object,
+    route_subject,
+)
+
+Marker = Callable[[DataFrame], DataFrame]
+
+
+def build_matcher(spec: dict[str, Any]) -> Marker:
+    t = spec["@type"]
+    if t == "QuadMatcherPredicate":
+        return match_predicate(spec["predicateRegex"])
+    if t == "QuadMatcherTermValue":
+        return match_term_value(
+            spec["term"], spec["regex"], float(spec.get("probability", 1.0))
+        )
+    if t == "QuadMatcherResourceType":
+        return match_resource_type(
+            spec["typeRegex"], bool(spec.get("matchFullResource", False))
+        )
+    raise ValueError(f"Unknown matcher @type {t} (lib/quadmatcher/)")
+
+
+def build_transformer(spec: dict[str, Any]) -> T.Transformer:
+    t = spec["@type"]
+    if t == "QuadTransformerIdentity":
+        return T.identity
+    if t == "QuadTransformerClone":
+        return T.clone
+    if t == "QuadTransformerReplaceIri":
+        return T.replace_iri(spec["searchRegex"], spec["replacementString"])
+    if t == "QuadTransformerDistributeIri":
+        return T.distribute_iri(spec["searchRegex"], spec["replacementStrings"])
+    if t == "QuadTransformerSetIriExtension":
+        return T.set_iri_extension(spec["extension"], spec.get("iriPattern"))
+    if t == "QuadTransformerBlankToNamed":
+        return T.blank_to_named(spec["searchRegex"], spec["replacementString"])
+    if t == "QuadTransformerBlankToFragment":
+        return lambda df: ST.blank_to_fragment(df)
+    if t == "QuadTransformerCompositeSequential":
+        return T.compose(*[build_transformer(s) for s in spec["transformers"]])
+    if t == "QuadTransformerDistinct":
+        return T.distinct_produced(build_transformer(spec["transformer"]))
+    if t == "QuadTransformerAppendQuadLink":
+        return T.append_quad_link(
+            build_matcher(spec["matcher"]),
+            spec["predicate"],
+            spec["link"],
+            identifier=spec.get("identifier", "subject"),
+            reverse=bool(spec.get("reverse", False)),
+            link_type=spec.get("linkType"),
+            remove_trailing_slash=bool(spec.get("removeTrailingSlash", False)),
+        )
+    if t == "QuadTransformerAppendResourceLink":
+        return T.append_resource_link(
+            spec["typeRegex"],
+            spec["predicate"],
+            spec["link"],
+            reverse=bool(spec.get("reverse", False)),
+            link_type=spec.get("linkType"),
+            remove_trailing_slash=bool(spec.get("removeTrailingSlash", False)),
+        )
+    if t == "QuadTransformerAppendResourceScl":
+        return T.append_resource_scl(
+            spec["typeRegex"], spec["identifierSuffix"], spec["sclPolicy"]
+        )
+    if t == "QuadTransformerAppendResourceSolidTypeIndex":
+        return lambda df: ST.append_resource_solid_type_index(
+            df,
+            spec["typeRegex"],
+            spec["profilePredicateRegex"],
+            spec["typeIndex"],
+            spec["entrySuffix"],
+            spec["entryReference"],
+            bool(spec.get("entryContainer", False)),
+        )
+    if t == "QuadTransformerRemapResourceIdentifier":
+        modifier = None
+        if "identifierValueModifier" in spec:
+            vm = spec["identifierValueModifier"]
+            modifier = (vm["regex"], vm.get("replacement", "$1"))
+        return ST.RemapResourceIdentifier(
+            spec["newIdentifierSeparator"],
+            spec["typeRegex"],
+            spec["identifierPredicateRegex"],
+            spec["targetPredicateRegex"],
+            identifier_value_modifier=modifier,
+            keep_subject_fragment=bool(spec.get("keepSubjectFragment", False)),
+        )
+    if t == "QuadTransformerCompositeVaryingResource":
+        children = [build_transformer(s) for s in spec["transformers"]]
+        return lambda df: ST.composite_varying_resource(
+            df, spec["typeRegex"], spec["targetPredicateRegex"], children
+        )
+    raise ValueError(f"Unknown transformer @type {t} (lib/transform/)")
+
+
+def build_strategy(spec: dict[str, Any]):
+    t = spec["@type"]
+    if t == "FragmentationStrategySubject":
+        return lambda df: route_subject(df, spec.get("relativePath"))
+    if t == "FragmentationStrategyObject":
+        return route_object
+    if t == "FragmentationConstant":
+        return lambda df: route_constant(df, spec["path"])
+    if t == "FragmentationStrategyComposite":
+        children = [build_strategy(s) for s in spec["strategies"]]
+        return lambda df: route_composite(df, children)
+    if t == "FragmentationStrategyResourceObject":
+        return lambda df: route_resource_object(df, spec["targetPredicateRegex"])
+    if t == "FragmentationStrategyException":
+        base = build_strategy(spec["strategy"])
+        exceptions = [
+            (build_matcher(e["matcher"]), build_strategy(e["strategy"]))
+            for e in spec["exceptions"]
+        ]
+        return lambda df: route_exception(df, base, exceptions)
+    raise ValueError(f"Unknown strategy @type {t} (lib/strategy/)")
+
+
+def build_source(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
+    t = spec["@type"]
+    if t == "QuadSourceFile":
+        return read_nquads(spark, spec["filePath"])
+    if t == "QuadSourceComposite":
+        return composite_source([build_source(spark, s) for s in spec["sources"]])
+    raise ValueError(f"Unknown source @type {t} (lib/io/)")
+
+
+def compile_pipeline(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
+    """Spec → routed (doc, quad) DataFrame — one lazy plan, no actions."""
+    df = build_source(spark, spec["quadSource"])
+    for tr in spec.get("transformers", []):
+        transformer = build_transformer(tr)
+        df = transformer(df)
+    strategy = build_strategy(spec["fragmentationStrategy"])
+    return strategy(df)
+
+
+def run_pipeline_spec(spark: SparkSession, spec: dict[str, Any] | str, output_dir: str) -> None:
+    """Compile and execute a pipeline spec end-to-end, including the sink
+    (iriToPath mapping + partitioned write)."""
+    if isinstance(spec, str):
+        with open(spec) as f:
+            spec = json.load(f)
+    routed = compile_pipeline(spark, spec)
+    sink = spec["quadSink"]
+    if sink["@type"] not in ("QuadSinkFile",):
+        raise ValueError(f"Unknown sink @type {sink['@type']} (lib/io/)")
+    with_path = map_doc_to_path(
+        routed, sink["iriToPath"], file_extension=sink.get("fileExtension")
+    )
+    write_fragments(with_path, output_dir)

@@ -1,0 +1,98 @@
+"""North-rule end-to-end checks (BASELINE.md):
+
+* byte-identical extracted text per url vs the ground-truth `text` column;
+* triple P/R ≥ 0.95 vs the frozen single-threaded reference extractor;
+* canonicalization merges alias surface forms;
+* fragment write produces manifest with lineage + row counts, and resume
+  skips committed fragments."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_dataset_fragmenter_js_spark.kg.canonicalize import (
+    apply_canonicalization,
+    canonical_mapping,
+    normalize_surface_col,
+)
+from rdf_dataset_fragmenter_js_spark.kg.extract import (
+    extract_text,
+    extract_triples,
+    reference_extract_triples,
+)
+from rdf_dataset_fragmenter_js_spark.kg.pipeline import build_quads, fragment_and_write
+from rdf_dataset_fragmenter_js_spark.kg.webpages import alias_to_canonical, synthetic_webpages
+
+N_PAGES = 200
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synthetic_webpages(spark, N_PAGES, pods=10).cache()
+
+
+def test_text_extraction_byte_identical(spark, pages):
+    texts = extract_text(pages)
+    joined = texts.join(pages.select("url", "text"), on="url")
+    mismatches = joined.filter(
+        F.col("extracted_text").cast("binary") != F.col("text").cast("binary")
+    ).count()
+    assert mismatches == 0
+    assert texts.count() == N_PAGES
+
+
+def test_triples_pr_vs_reference(spark, pages):
+    # reference: frozen single-threaded extractor over collected pages
+    raw = [(r.url, bytes(r.html)) for r in pages.select("url", "html").collect()]
+    ref = set(reference_extract_triples(raw))
+
+    got_rows = extract_triples(extract_text(pages)).collect()
+    got = {(r.url, r.subj_surface, r.pred, r.obj_surface) for r in got_rows}
+
+    tp = len(got & ref)
+    precision = tp / max(len(got), 1)
+    recall = tp / max(len(ref), 1)
+    assert precision >= 0.95, f"precision {precision}"
+    assert recall >= 0.95, f"recall {recall}"
+    assert len(ref) >= N_PAGES  # every page contributes at least 1 SVO
+
+
+def test_canonicalization_merges_aliases(spark):
+    rows = [("Alice Johnson",), ("A. Johnson",), ("Alice R. Johnson",), ("Bob Smith",), ("B. Smith",)]
+    mentions = spark.createDataFrame(rows, ["surface"])
+    mapping = {r.norm: r.canonical_id for r in canonical_mapping(mentions).collect()}
+    # all Alice variants normalize/cluster to one id, Bob variants to another
+    alice_ids = {mapping["alice johnson"], mapping["johnson"]}
+    assert len(alice_ids) <= 2  # 'a. johnson' normalizes to 'johnson'
+    assert mapping["alice johnson"] == mapping["johnson"], mapping
+
+
+def test_end_to_end_quads_and_canonical_entities(spark, pages):
+    quads = build_quads(pages)
+    rows = quads.collect()
+    assert len(rows) >= N_PAGES  # ≥1 triple per page
+    subjects = {r.s for r in rows}
+    # canonical entity IRIs — aliases merged: no 'r_johnson'-style variants
+    assert all(s.startswith("http://kg.ex.org/entity/") for s in subjects)
+    canon = set(alias_to_canonical().values())
+    ids = {s.rsplit("/", 1)[1] for s in subjects}
+    # every emitted subject is one of the ground-truth canonical entities
+    unexpected = ids - canon
+    assert not unexpected, unexpected
+
+
+def test_fragment_write_manifest_and_resume(spark, pages, tmp_path):
+    out = str(tmp_path / "kg_out")
+    quads = build_quads(pages).cache()
+    metrics = fragment_and_write(quads, out)
+    assert metrics["fragments"] > 0
+    assert metrics["rows"] > 0
+    manifest = spark.read.parquet(f"{out}/_manifest")
+    assert {"fragment", "row_count", "min_seq", "max_seq"} <= set(manifest.columns)
+    total = manifest.agg(F.sum("row_count")).collect()[0][0]
+    assert total == metrics["rows"]
+    # resume: second run adds nothing new (all fragments committed)
+    metrics2 = fragment_and_write(quads, out)
+    assert metrics2["rows"] == metrics["rows"]
+    quads.unpersist()

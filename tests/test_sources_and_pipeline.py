@@ -1,0 +1,130 @@
+"""N-Quads source round-trip (jest ``QuadSourceFile``/``ParallelFileWriter``
+fixture, ``test/unit/io/rdf_files/test.nt``), composite source, the
+pipeline-spec compiler end-to-end (config-example.json shape), multimodal
+plumbing, and sessionization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_dataset_fragmenter_js_spark.plans.pipeline import compile_pipeline, run_pipeline_spec
+from rdf_dataset_fragmenter_js_spark.sources.nquads import (
+    composite_source,
+    parse_nquads_lines,
+    read_nquads,
+    serialize_nquads,
+)
+
+NT = """\
+<http://example.org/a> <http://example.org/p> <http://example.org/b> .
+_:b0 <http://example.org/p> "plain" .
+<http://example.org/a> <http://example.org/q> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://example.org/a> <http://example.org/r> "hi"@en <http://example.org/g1> .
+# a comment
+
+<http://example.org/a> <http://example.org/s> _:b0 .
+"""
+
+
+@pytest.fixture()
+def nt_file(tmp_path):
+    p = tmp_path / "test.nt"
+    p.write_text(NT)
+    return str(p)
+
+
+def test_nquads_parse(spark, nt_file):
+    df = read_nquads(spark, nt_file)
+    rows = sorted((r.s_type, r.s, r.p, r.o_type, r.o, r.o_datatype, r.o_lang, r.g) for r in df.collect())
+    assert rows == sorted(
+        [
+            ("NamedNode", "http://example.org/a", "http://example.org/p", "NamedNode", "http://example.org/b", None, None, None),
+            ("BlankNode", "b0", "http://example.org/p", "Literal", "plain", None, None, None),
+            ("NamedNode", "http://example.org/a", "http://example.org/q", "Literal", "42", "http://www.w3.org/2001/XMLSchema#integer", None, None),
+            ("NamedNode", "http://example.org/a", "http://example.org/r", "Literal", "hi", None, "en", "http://example.org/g1"),
+            ("NamedNode", "http://example.org/a", "http://example.org/s", "BlankNode", "b0", None, None, None),
+        ]
+    )
+
+
+def test_nquads_roundtrip(spark, nt_file):
+    df = read_nquads(spark, nt_file)
+    lines = serialize_nquads(df).select("line")
+    reparsed = parse_nquads_lines(lines, "line")
+    a = sorted(tuple(r)[:8] for r in df.collect())
+    b = sorted(tuple(r)[:8] for r in reparsed.collect())
+    assert a == b
+
+
+def test_composite_source(spark, nt_file):
+    df = read_nquads(spark, nt_file)
+    both = composite_source([df, df])
+    assert both.count() == 2 * df.count()
+    with pytest.raises(ValueError):
+        composite_source([])
+
+
+def test_pipeline_spec_end_to_end(spark, nt_file, tmp_path):
+    # config-example.json shape: source → ReplaceIri ×1 → subject strategy →
+    # file sink with iriToPath
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": nt_file},
+        "transformers": [
+            {
+                "@type": "QuadTransformerReplaceIri",
+                "searchRegex": "^http://example.org",
+                "replacementString": "http://localhost:3000/example.org",
+            }
+        ],
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkFile",
+            "outputFormat": "application/n-quads",
+            "iriToPath": {"^http://localhost:3000/": str(tmp_path) + "/out/"},
+        },
+    }
+    routed = compile_pipeline(spark, spec)
+    docs = {r.doc for r in routed.select("doc").distinct().collect()}
+    assert docs == {"http://localhost:3000/example.org/a"}
+    run_pipeline_spec(spark, spec, str(tmp_path / "frags"))
+    written = spark.read.parquet(str(tmp_path / "frags"))
+    assert written.count() == routed.count()
+
+
+def test_multimodal_features(spark):
+    from rdf_dataset_fragmenter_js_spark.textops.multimodal import (
+        extract_features,
+        repartition_by_bytes,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    feats = extract_features(repartition_by_bytes(media, target_bytes=1 << 20))
+    rows = feats.collect()
+    # video rows skipped (NotImplementedError stub); image+audio featurized
+    kinds = {r.kind for r in rows}
+    assert kinds == {"image", "audio"}
+    assert all(len(r.feature) in (64, 128) for r in rows)
+    assert len(rows) == 20
+    # determinism
+    rows2 = extract_features(media).collect()
+    assert {(r.media_id, tuple(r.feature)) for r in rows} == {
+        (r.media_id, tuple(r.feature)) for r in rows2
+    }
+
+
+def test_sessionize(spark):
+    from rdf_dataset_fragmenter_js_spark.streaming.sessions import sessionize
+
+    rows = [
+        (1, "2026-01-01 10:00:00", 100),
+        (2, "2026-01-01 10:10:00", 100),
+        (3, "2026-01-01 11:30:00", 100),  # > 30 min gap → new session
+        (4, "2026-01-01 10:00:00", 200),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {(r.event_id, r.session_id) for r in sessionize(df).collect()}
+    assert out == {(1, 1), (2, 1), (3, 2), (4, 1)}
