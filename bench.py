@@ -59,12 +59,21 @@ def build_spark(cpus: int):
 
 def kg_throughput(spark, sf: float) -> tuple[float, int, float]:
     """Run the KG construction pipeline on a corpus sized to sf; returns
-    (triples_per_sec, n_triples, seconds)."""
+    (triples_per_sec, n_triples, seconds). The corpus is materialized to
+    parquet first and the timed pipeline reads it from storage — measuring
+    the real scan→extract→canonicalize→quads path, not in-memory
+    regeneration."""
+    import tempfile
+
     from rdf_dataset_fragmenter_js_spark.kg.pipeline import build_quads
     from rdf_dataset_fragmenter_js_spark.kg.webpages import synthetic_webpages
 
     n_pages = max(int(PAGES_PER_SF * sf), 1000)
-    pages = synthetic_webpages(spark, n_pages, pods=max(n_pages // 100, 10))
+    tmp = tempfile.mkdtemp(prefix="kg_bench_pages_")
+    synthetic_webpages(spark, n_pages, pods=max(n_pages // 100, 10)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    pages = spark.read.parquet(tmp)
     t0 = time.time()
     quads = build_quads(pages)
     n_triples = quads.count()

@@ -105,6 +105,11 @@ def canonical_mapping(
         mentions.select(normalize_surface_col(F.col(surface_col)).alias("norm"))
         .filter(F.col("norm") != "")
         .distinct()
+        # Materialize the (tiny) distinct-forms table once: everything below
+        # re-references it many times (pair join, containment, CC loop) and
+        # without cutting lineage each re-reference would re-run the whole
+        # upstream extraction over the page corpus.
+        .localCheckpoint(eager=True)
     )
     docs = forms.select(F.col("norm").alias("doc_id"), F.col("norm").alias("text"))
     toks = F.split(F.col("doc_id"), " ")

@@ -124,6 +124,31 @@ def extract_triples(texts: DataFrame, text_col: str = "extracted_text") -> DataF
     return texts.mapInPandas(batches, schema=schema)
 
 
+def extract_page_triples(pages: DataFrame) -> DataFrame:
+    """Fused html→text→SVO extraction in ONE Arrow stage.
+
+    Chaining two ``mapInPandas`` stages pays a second Arrow encode/decode and
+    a second Python worker per task; the pipeline's hot path fuses them
+    (the unfused stages remain for callers that need the intermediate
+    text). Semantics identical to ``extract_triples(extract_text(pages))``.
+    """
+    schema = "url string, subj_surface string, pred string, obj_surface string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"url": [], "subj_surface": [], "pred": [], "obj_surface": []}
+            for url, html_bytes in zip(pdf["url"], pdf["html"]):
+                text = extract_text_bytes(bytes(html_bytes))
+                for m in _SVO_RE.finditer(text):
+                    rows["url"].append(url)
+                    rows["subj_surface"].append(m.group("s"))
+                    rows["pred"].append(_PHRASE_TO_SLUG[m.group("p")])
+                    rows["obj_surface"].append(m.group("o"))
+            yield pd.DataFrame(rows)
+
+    return pages.mapInPandas(batches, schema=schema)
+
+
 def link_score_col(mention_col, canonical_name_col):
     """Entity-link score: trigram Jaccard between the normalized mention and
     the candidate canonical name — a pure column expression (JVM-side), used

@@ -30,7 +30,7 @@ from rdf_dataset_fragmenter_js_spark.kg.canonicalize import (
     apply_canonicalization,
     canonical_mapping,
 )
-from rdf_dataset_fragmenter_js_spark.kg.extract import extract_text, extract_triples
+from rdf_dataset_fragmenter_js_spark.kg.extract import extract_page_triples
 from rdf_dataset_fragmenter_js_spark.quads import NAMED_NODE
 from rdf_dataset_fragmenter_js_spark.strategies import route_subject
 
@@ -56,14 +56,25 @@ def triples_to_quads(canonical_triples: DataFrame) -> DataFrame:
     )
 
 
-def build_quads(pages: DataFrame) -> DataFrame:
-    """Pages → canonical quad graph (no writes; one lazy plan)."""
-    texts = extract_text(pages)
-    triples = extract_triples(texts)
+def build_quads(pages: DataFrame, persist_intermediate: bool = True) -> DataFrame:
+    """Pages → canonical quad graph.
+
+    The extracted-triples relation is consumed twice (once aggregated into
+    the canonical mapping, once as the output pass); ``persist_intermediate``
+    persists it MEMORY_AND_DISK so the page corpus is scanned exactly once —
+    at the 100 TB tier this intermediate would be written to a table between
+    the two phases instead (same shape, explicit storage)."""
+    triples = extract_page_triples(pages)  # fused single Arrow stage
+    if persist_intermediate:
+        from pyspark.storagelevel import StorageLevel
+
+        triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
     mentions = triples.select(F.col("subj_surface").alias("surface")).unionByName(
         triples.select(F.col("obj_surface").alias("surface"))
     )
-    mapping = canonical_mapping(mentions)
+    # The mapping is tiny (distinct surface forms); checkpoint it so the two
+    # apply-joins don't each re-derive it.
+    mapping = canonical_mapping(mentions).localCheckpoint(eager=True)
     canonical = apply_canonicalization(triples, mapping)
     return triples_to_quads(canonical)
 

@@ -102,8 +102,13 @@ def route_bnode_quads(
     duplicated per distinct owner (multi-owner semantics, jest fixture
     ``FragmentationStrategySubject-test.ts:160-167``).
     """
-    owners = bnode_owners(quads, key, key_type, value, value_type)
     bnode_quads = quads.filter(_is(F.col(key_type), BLANK_NODE))
+    # Short-circuit: most real pipelines have no bnode-keyed quads at all —
+    # one limit-1 probe (filter pushed to the scan) avoids the whole
+    # iterative-closure machinery and its checkpoint jobs.
+    if bnode_quads.limit(1).isEmpty():
+        return quads.limit(0).select(F.lit("").alias("doc"), *quads.columns)
+    owners = bnode_owners(quads, key, key_type, value, value_type)
     # No broadcast hint: the (bnode, owner) table is usually small but can be
     # proportional to the data at web scale — let AQE pick broadcast vs
     # shuffle-hash at runtime (it sees the actual size post-closure).

@@ -190,16 +190,59 @@ def simhash16(
     )
 
 
-def near_dup_clusters(pairs: DataFrame, threshold_pairs: DataFrame | None = None) -> DataFrame:
+def near_dup_clusters(pairs: DataFrame, driver_threshold: int = 1_000_000) -> DataFrame:
     """Connected components over near-dup pairs (doc_a, doc_b) → cluster
-    representative per doc: iterative min-label propagation (small number of
-    iterations; checkpointed). Returns (doc_id, cluster_id)."""
+    representative per doc. Returns (doc_id, cluster_id).
+
+    Two physical strategies behind one API:
+
+    * pair set ≤ ``driver_threshold``: collect and solve with union-find on
+      the driver — a distributed iterative loop costs a fixed ~1s of job
+      scheduling per iteration, which dwarfs a million-edge union-find;
+    * larger: iterative min-label propagation with ``localCheckpoint`` per
+      iteration (the scalable path — converges in O(diameter) rounds; dedup
+      clusters are shallow).
+    """
+    n_pairs = pairs.limit(driver_threshold + 1).count()
+    if n_pairs <= driver_threshold:
+        rows = pairs.collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            for v in (a, b):
+                if v not in parent:
+                    parent[v] = v
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min label wins (matches the distributed min-propagation)
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+
+        for r in rows:
+            union(r[0], r[1])
+        labels = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        schema = pairs.schema
+        t = schema[0].dataType.simpleString()
+        return spark.createDataFrame(labels, f"doc_id {t}, cluster_id {t}")
+    return _near_dup_clusters_distributed(pairs)
+
+
+def _near_dup_clusters_distributed(pairs: DataFrame) -> DataFrame:
+    """The scalable min-label-propagation path (used above threshold)."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)  # edges are re-joined every iteration
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()

@@ -29,9 +29,15 @@ def run_level(cpus: int, n_pages: int) -> dict:
     from rdf_dataset_fragmenter_js_spark.kg.pipeline import build_quads
     from rdf_dataset_fragmenter_js_spark.kg.webpages import synthetic_webpages
 
+    import tempfile
+
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    pages = synthetic_webpages(spark, n_pages, pods=max(n_pages // 100, 10))
+    tmp = tempfile.mkdtemp(prefix=f"kg_scale_{cpus}_")
+    synthetic_webpages(spark, n_pages, pods=max(n_pages // 100, 10)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    pages = spark.read.parquet(tmp)
     # warm-up: JVM/codegen (small prefix) so the measurement is steady-state
     build_quads(pages.limit(2000)).count()
     t0 = time.time()
