@@ -83,10 +83,69 @@ def surface_counts(mentions: DataFrame, surface_col: str = "surface") -> DataFra
     return partial.groupBy("norm").agg(F.sum("pn").alias("n"))
 
 
+def _shingles3(s: str) -> set:
+    """Driver-side char-trigram set, identical to ``char_shingles(n=3)``
+    (positions 1..max(len-2, 1) → short strings yield themselves)."""
+    return {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
+
+
+def _canonical_mapping_driver(
+    spark, forms: list[str], containment_threshold: float
+) -> DataFrame:
+    """Driver-side replica of the distributed mapping build (token blocking →
+    trigram containment → connected components → longest-form representative).
+    Semantically identical; used when the distinct-forms table is small, where
+    the ~10 tiny distributed jobs of the DataFrame path cost seconds of fixed
+    job-scheduling overhead to process a vocabulary-sized input."""
+    import itertools
+
+    threshold_bp = int(containment_threshold * 10000)
+    blocks: dict[str, list[str]] = {}
+    for f in forms:
+        toks = f.split(" ")
+        for b in {toks[0], toks[-1]}:
+            blocks.setdefault(b, []).append(f)
+    pairs = set()
+    for members in blocks.values():
+        members = sorted(set(members))
+        pairs.update(itertools.combinations(members, 2))
+    sh = {f: _shingles3(f) for f in forms}
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        inter = len(sh[a] & sh[b])
+        bp = inter * 10000 // min(len(sh[a]), len(sh[b]))
+        if bp >= threshold_bp:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    clusters: dict[str, list[str]] = {}
+    for f in parent:
+        clusters.setdefault(find(f), []).append(f)
+    rows = []
+    for members in clusters.values():
+        rep = min(members, key=lambda m: (-len(m), m))
+        rows.extend((m, rep) for m in members)
+    mapped = dict(rows)
+    out = [(f, mapped.get(f, f).replace(" ", "_")) for f in forms]
+    return spark.createDataFrame(out, "norm string, canonical_id string")
+
+
 def canonical_mapping(
     mentions: DataFrame,
     surface_col: str = "surface",
     containment_threshold: float = 0.7,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Build the surface → canonical-id mapping. Returns
     (norm, canonical_id).
@@ -100,7 +159,17 @@ def canonical_mapping(
 
     Scale: blocks are bounded (hot surname blocks can be capped/salted); the
     pair join happens inside blocks only. An alternative MinHash-LSH
-    candidate path is available in textops.dedup for longer texts."""
+    candidate path is available in textops.dedup for longer texts.
+
+    Two physical strategies behind one API (same split as
+    ``textops.dedup.near_dup_clusters``): the distinct normalized forms are
+    a *vocabulary*, orders of magnitude smaller than the mention stream. At
+    ≤ ``driver_threshold`` forms the blocking/containment/CC steps run as
+    plain Python on the driver — the DataFrame path costs ~10 tiny jobs
+    whose fixed scheduling overhead dwarfs the actual work. Above it, the
+    fully distributed plan runs. Both produce identical mappings; the
+    *application* of the mapping (the expensive corpus-sized part) is always
+    the distributed broadcast join in :func:`apply_canonicalization`."""
     forms = (
         mentions.select(normalize_surface_col(F.col(surface_col)).alias("norm"))
         .filter(F.col("norm") != "")
@@ -111,6 +180,12 @@ def canonical_mapping(
         # upstream extraction over the page corpus.
         .localCheckpoint(eager=True)
     )
+    if driver_threshold:
+        sample = forms.limit(driver_threshold + 1).collect()
+        if len(sample) <= driver_threshold:
+            return _canonical_mapping_driver(
+                mentions.sparkSession, [r[0] for r in sample], containment_threshold
+            )
     docs = forms.select(F.col("norm").alias("doc_id"), F.col("norm").alias("text"))
     toks = F.split(F.col("doc_id"), " ")
     blocked = docs.select(

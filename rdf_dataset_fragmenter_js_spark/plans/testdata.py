@@ -143,8 +143,22 @@ FROM orders
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the testdata parquet tables as temp views.
+
+    The local fixture files are single-row-group parquet, which Spark cannot
+    split — every scan would be one partition and all map-side work (quad
+    generation, shingling, hashing, regex scoring) would run on one core. On
+    a real cluster the input is thousands of splits; emulate that here by
+    repartitioning any under-split scan up to ``defaultParallelism``. The
+    shuffle this adds is tiny (the fixtures are KBs); the downstream plans
+    then exercise the same all-cores execution shape they'd have at scale.
+    """
+    target = spark.sparkContext.defaultParallelism
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+        df.createOrReplaceTempView(t)
 
 
 def order_quads(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,21 +41,26 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def char_shingles(
-    docs: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct char n-gram shingles per document (doc_id, shingle)."""
+    """Char n-gram shingles per document (doc_id, shingle). ``distinct=True``
+    dedups shingles per doc (one full shuffle of the exploded set) — needed
+    for exact Jaccard set semantics; pass ``distinct=False`` for consumers
+    that aggregate with duplicate-insensitive functions (min/max), which
+    skips that shuffle entirely."""
     positions = F.sequence(
         F.lit(1), F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(1))
     )
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(positions).alias("pos"),
-            F.col(text_col),
-        )
-        .select("doc_id", F.substring(F.col(text_col), F.col("pos"), n).alias("shingle"))
-        .distinct()
-    )
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(positions).alias("pos"),
+        F.col(text_col),
+    ).select("doc_id", F.substring(F.col(text_col), F.col("pos"), n).alias("shingle"))
+    return sh.distinct() if distinct else sh
 
 
 def minhash_signatures(
@@ -69,8 +74,13 @@ def minhash_signatures(
     salting — ``min(md5(i || ':' || shingle))`` (lexicographic min of hex
     digests ≡ min over a random permutation of shingle space). Returns
     (doc_id, mh_0..mh_{k-1}). One explode + one groupBy; the min() combines
-    map-side so the shuffle carries k×32 bytes per doc."""
-    sh = char_shingles(docs, n=shingle_size, id_col=id_col, text_col=text_col)
+    map-side so the shuffle carries k×32 bytes per doc. Shingles are NOT
+    deduplicated first: min over the shingle multiset equals min over the
+    set, so the per-doc distinct (a full shuffle of the exploded shingle
+    rows) is skipped entirely."""
+    sh = char_shingles(
+        docs, n=shingle_size, id_col=id_col, text_col=text_col, distinct=False
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(f"mh_{i}")
         for i in range(k)
@@ -105,6 +115,11 @@ def lsh_candidate_pairs(
     banded = sig.select(
         F.col("doc_id"), F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", "bk.band", "bk.band_key")
+    # Self-join: without materialization Spark recomputes the whole
+    # shingle→minhash pipeline for BOTH sides. Persist the (tiny: bands rows
+    # per doc) banded signatures so the upstream runs once. At the 100 TB
+    # tier this is the "write signatures to a table between phases" step.
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -127,8 +142,11 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Exact Jaccard similarity over char-shingle sets for candidate pairs
-    (doc_a, doc_b). Returns (doc_a, doc_b, jaccard rounded to 4dp)."""
-    sh = char_shingles(docs, n=shingle_size, id_col=id_col, text_col=text_col)
+    (doc_a, doc_b). Returns (doc_a, doc_b, jaccard rounded to 4dp).
+
+    The shingle set feeds three plan branches (sizes, a-side, b-side);
+    persist it so the explode+distinct runs once, not three times."""
+    sh = char_shingles(docs, n=shingle_size, id_col=id_col, text_col=text_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     b_sh = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))

@@ -68,6 +68,27 @@ def test_canonicalization_merges_aliases(spark):
     assert mapping["alice johnson"] == mapping["johnson"], mapping
 
 
+def test_canonicalization_driver_and_distributed_paths_agree(spark):
+    """The driver fast path and the fully distributed plan must produce the
+    identical mapping (same blocking, containment, CC, representative)."""
+    rows = [
+        ("Alice Johnson",), ("A. Johnson",), ("Alice R. Johnson",),
+        ("Bob Smith",), ("B. Smith",), ("Carol Diaz",), ("C. Diaz",),
+        ("Acme Corp",), ("Acme Corporation",), ("Springfield",),
+        ("Emma Brown",), ("E. Brown",), ("Umbrella Co",), ("Umbrella Company",),
+    ]
+    mentions = spark.createDataFrame(rows, ["surface"])
+    via_driver = {
+        (r.norm, r.canonical_id)
+        for r in canonical_mapping(mentions, driver_threshold=100_000).collect()
+    }
+    via_cluster = {
+        (r.norm, r.canonical_id)
+        for r in canonical_mapping(mentions, driver_threshold=0).collect()
+    }
+    assert via_driver == via_cluster
+
+
 def test_end_to_end_quads_and_canonical_entities(spark, pages):
     quads = build_quads(pages)
     rows = quads.collect()
