@@ -24,6 +24,7 @@ from rdf_dataset_fragmenter_js_spark.operators.matchers import match_predicate
 from rdf_dataset_fragmenter_js_spark.operators.stateful import RemapResourceIdentifier
 from rdf_dataset_fragmenter_js_spark.plans import testdata as TD
 from rdf_dataset_fragmenter_js_spark.strategies import (
+    route_composite,
     route_constant,
     route_exception,
     route_object,
@@ -43,6 +44,8 @@ from rdf_dataset_fragmenter_js_spark.textops import similarity as S
 VOCAB = TD.VOCAB
 RDF_TYPE = TD.RDF_TYPE
 POD_PATTERN = r"^(http://ex\.org/pods/[0-9]+/)"
+SOLID = "http://www.w3.org/ns/solid/terms#"
+SCL = "https://w3id.org/scl/vocab#"
 
 QUAD_OUT = ["doc", "s_type", "s", "p", "o_type", "o"]
 
@@ -97,6 +100,17 @@ def q_frag_resource_object(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_frag_subject_relative(spark, sf_dir):
+    return route_subject(TD.order_quads(spark, sf_dir), relative_path="data.nq").select(
+        *QUAD_OUT
+    )
+
+
+def q_frag_composite(spark, sf_dir):
+    quads = TD.order_quads(spark, sf_dir)
+    return route_composite(quads, [route_subject, route_object]).select(*QUAD_OUT)
+
+
 def q_transform_replace_iri(spark, sf_dir):
     quads = TD.order_quads(spark, sf_dir)
     out = T.replace_iri(r"^http://ex\.org/order/([0-9]+)$", "http://ex.org/o/$1")(quads)
@@ -135,6 +149,118 @@ def q_transform_remap_resource(spark, sf_dir):
     return remap(quads).select("s", "p", "o_type", "o")
 
 
+def q_transform_clone(spark, sf_dir):
+    return T.clone(TD.order_quads(spark, sf_dir)).select("s", "p", "o_type", "o")
+
+
+def q_transform_blank_to_named(spark, sf_dir):
+    quads = TD.bnode_quads(spark, sf_dir)
+    out = T.blank_to_named(r"^b([0-9]+)$", "http://ex.org/bn/$1")(quads)
+    return out.select("s_type", "s", "p", "o_type", "o")
+
+
+def q_transform_append_quad(spark, sf_dir):
+    quads = TD.order_quads(spark, sf_dir)
+    out = T.append_quad(
+        match_predicate("hasId$"),
+        s=None,
+        p={"value": VOCAB + "idCopied"},
+        o={"component": "object", "literal": True},
+    )(quads)
+    return out.select("s", "p", "o_type", "o")
+
+
+def q_transform_distinct(spark, sf_dir):
+    quads = TD.order_quads(spark, sf_dir)
+    inner = T.append_quad_link(
+        match_predicate("hasCreator$"),
+        VOCAB + "postsIndex",
+        "../posts",
+        identifier="object",
+    )
+    return T.distinct_produced(inner)(quads).select("s", "p", "o_type", "o")
+
+
+def q_transform_append_resource_scl(spark, sf_dir):
+    quads = TD.order_quads(spark, sf_dir)
+    out = T.append_resource_scl("Order$", "http://ex.org/policy1", "premium")(quads)
+    return out.select("s", "p", "o_type", "o", "o_datatype")
+
+
+def q_transform_composite_varying(spark, sf_dir):
+    from rdf_dataset_fragmenter_js_spark.operators.stateful import (
+        composite_varying_resource,
+    )
+
+    quads = TD.order_quads(spark, sf_dir)
+    children = [
+        RemapResourceIdentifier("#A", "Order$", "hasId$", "hasCreator$"),
+        RemapResourceIdentifier("#B", "Order$", "hasId$", "hasCreator$"),
+    ]
+    out = composite_varying_resource(quads, "Order$", "hasCreator$", children)
+    return out.select("s", "p", "o_type", "o")
+
+
+def q_transform_solid_type_index(spark, sf_dir):
+    from rdf_dataset_fragmenter_js_spark.operators.stateful import (
+        append_resource_solid_type_index,
+    )
+
+    quads = TD.order_quads(spark, sf_dir)
+    out = append_resource_solid_type_index(
+        quads,
+        "Order$",
+        "hasCreator$",
+        type_index="settings/publicTypeIndex.ttl",
+        entry_suffix="#order",
+        entry_reference="orders",
+        entry_container=False,
+    )
+    return out.select("s", "p", "o_type", "o")
+
+
+def q_matcher_term_value(spark, sf_dir):
+    """Deterministic probability sampling via bit-exact imurmurhash — the
+    hash is not expressible in DuckDB SQL, so this entry is rows-only; the
+    hash itself is golden-tested against reference fixture values in
+    tests/ (QuadMatcherTermValue-test.ts parity)."""
+    from rdf_dataset_fragmenter_js_spark.operators.matchers import match_term_value
+
+    quads = TD.order_quads(spark, sf_dir)
+    marker = match_term_value("subject", r"order/([0-9]+)$", probability=0.5)
+    return marker(quads).filter(F.col("__match")).select("s", "p", "o_type", "o")
+
+
+def q_sink_iri_to_path(spark, sf_dir):
+    from rdf_dataset_fragmenter_js_spark.sinks.paths import map_doc_to_path
+
+    quads = TD.order_quads(spark, sf_dir)
+    routed = route_composite(quads, [route_subject, route_object])
+    mapped = map_doc_to_path(
+        routed,
+        {
+            r"^http://ex\.org/order/": "orders/",
+            r"^http://ex\.org/pods/": "pods/",
+            r"^http://ex\.org/": "other/",
+        },
+        file_extension=".nq",
+    )
+    return mapped.select("doc", "path")
+
+
+def q_source_nquads_roundtrip(spark, sf_dir):
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import (
+        parse_nquads_lines,
+        serialize_nquads,
+    )
+
+    quads = TD.order_quads(spark, sf_dir)
+    lines = serialize_nquads(quads).select(F.col("line").alias("value"))
+    return parse_nquads_lines(lines).select(
+        "s_type", "s", "p", "o_type", "o", "o_datatype", "o_lang"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dataset summaries (aggregations)
 # ---------------------------------------------------------------------------
@@ -163,6 +289,31 @@ def q_summary_void_properties(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Training-data operators: dedup / text analysis / similarity
 # ---------------------------------------------------------------------------
+
+
+def q_summary_void_classes(spark, sf_dir):
+    quads = assign_datasets(TD.pod_quads(spark, sf_dir), [POD_PATTERN])
+    is_type = (F.col("p") == RDF_TYPE) & (F.col("o_type") == "NamedNode")
+    s_str = F.concat(F.col("s_type"), F.lit("\x1f"), F.col("s"))
+    return (
+        quads.filter(is_type)
+        .groupBy("dataset", F.col("o").alias("rdfclass"))
+        .agg(F.countDistinct(s_str).cast("long").alias("entities"))
+    )
+
+
+def q_summary_bloom(spark, sf_dir):
+    """Bloom membership summaries — bloem-compatible FNV double-hashing and
+    imurmurhash fragment IRIs are not expressible in DuckDB SQL (rows-only
+    here); the bitfields and IRIs are golden-tested against reference
+    fixture values in tests/test_summaries.py."""
+    from rdf_dataset_fragmenter_js_spark.strategies.summaries import bloom_summary
+
+    quads = assign_datasets(TD.pod_quads(spark, sf_dir), [POD_PATTERN])
+    out = bloom_summary(
+        quads, hash_bits=64, hash_count=2, location_patterns=[POD_PATTERN]
+    )
+    return out.select("doc", "s", "p", "o_type", "o")
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -206,6 +357,35 @@ def q_text_fingerprint(spark, sf_dir):
     return Q.fingerprint(_docs(spark, sf_dir))
 
 
+def q_text_tokens(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        Q.token_count_col(F.col("text")).cast("long").alias("n_ws_tokens"),
+        Q.word_token_count_col(F.col("text")).cast("long").alias("n_word_units"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media columns → Arrow-batched decode/featurize plumbing (the
+    decoders are deterministic stubs — container has no codecs; the Spark
+    plumbing is real). Input is the deterministic synthetic media table, so
+    an independent SQL oracle can predict ids/kinds/sizes/dims exactly."""
+    from rdf_dataset_fragmenter_js_spark.textops.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 300)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.size("feature").cast("long").alias("feat_dim"),
+    )
+
+
 def q_sim_cosine_topk(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
@@ -247,9 +427,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frag_subject": q_frag_subject,
+        "frag_subject_relative": q_frag_subject_relative,
         "frag_subject_bnodes": q_frag_subject_bnodes,
         "frag_object": q_frag_object,
         "frag_constant": q_frag_constant,
+        "frag_composite": q_frag_composite,
         "frag_exception": q_frag_exception,
         "frag_resource_object": q_frag_resource_object,
         "transform_replace_iri": q_transform_replace_iri,
@@ -257,8 +439,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_set_iri_extension": q_transform_set_iri_extension,
         "transform_append_quad_link": q_transform_append_quad_link,
         "transform_remap_resource": q_transform_remap_resource,
+        "transform_clone": q_transform_clone,
+        "transform_blank_to_named": q_transform_blank_to_named,
+        "transform_append_quad": q_transform_append_quad,
+        "transform_distinct": q_transform_distinct,
+        "transform_append_resource_scl": q_transform_append_resource_scl,
+        "transform_composite_varying": q_transform_composite_varying,
+        "transform_solid_type_index": q_transform_solid_type_index,
+        "matcher_term_value": q_matcher_term_value,
+        "sink_iri_to_path": q_sink_iri_to_path,
+        "source_nquads_roundtrip": q_source_nquads_roundtrip,
         "summary_void_dataset": q_summary_void_dataset,
         "summary_void_properties": q_summary_void_properties,
+        "summary_void_classes": q_summary_void_classes,
+        "summary_bloom": q_summary_bloom,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -266,6 +460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_tokens": q_text_tokens,
+        "multimodal_features": q_multimodal_features,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
         "sim_embedding_near_dups": q_sim_embedding_near_dups,
@@ -365,6 +561,16 @@ def oracle_sql() -> dict[str, str]:
                    s_type, s, p, o_type, o
             FROM quads
         """,
+        "frag_subject_relative": f"""
+            WITH quads AS ({_ORDER_QUADS})
+            SELECT s || '/data.nq' AS doc, s_type, s, p, o_type, o FROM quads
+        """,
+        "frag_composite": f"""
+            WITH quads AS ({_ORDER_QUADS})
+            SELECT s AS doc, s_type, s, p, o_type, o FROM quads
+            UNION ALL
+            SELECT o AS doc, s_type, s, p, o_type, o FROM quads WHERE o_type = 'NamedNode'
+        """,
         "frag_object": f"""
             WITH quads AS ({_ORDER_QUADS})
             SELECT o AS doc, s_type, s, p, o_type, o FROM quads WHERE o_type = 'NamedNode'
@@ -435,6 +641,107 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN mapping ms ON q.s = ms.res
             LEFT JOIN mapping mo ON q.o = mo.res AND q.o_type = 'NamedNode'
         """,
+        "transform_clone": f"""
+            WITH quads AS ({_ORDER_QUADS})
+            SELECT s, p, o_type, o FROM quads
+            UNION ALL
+            SELECT s, p, o_type, o FROM quads
+        """,
+        "transform_blank_to_named": f"""
+            WITH quads AS ({_BNODE_QUADS})
+            SELECT CASE WHEN s_type = 'BlankNode' AND regexp_matches(s, '^b([0-9]+)$')
+                        THEN 'NamedNode' ELSE s_type END AS s_type,
+                   CASE WHEN s_type = 'BlankNode' AND regexp_matches(s, '^b([0-9]+)$')
+                        THEN regexp_replace(s, '^b([0-9]+)$', 'http://ex.org/bn/\\1')
+                        ELSE s END AS s,
+                   p,
+                   CASE WHEN o_type = 'BlankNode' AND regexp_matches(o, '^b([0-9]+)$')
+                        THEN 'NamedNode' ELSE o_type END AS o_type,
+                   CASE WHEN o_type = 'BlankNode' AND regexp_matches(o, '^b([0-9]+)$')
+                        THEN regexp_replace(o, '^b([0-9]+)$', 'http://ex.org/bn/\\1')
+                        ELSE o END AS o
+            FROM quads
+        """,
+        "transform_append_quad": f"""
+            WITH quads AS ({_ORDER_QUADS})
+            SELECT s, p, o_type, o FROM quads
+            UNION ALL
+            SELECT s, '{VOCAB}idCopied', 'Literal', o FROM quads WHERE p LIKE '%hasId'
+        """,
+        "transform_distinct": f"""
+            WITH quads AS ({_ORDER_QUADS})
+            SELECT s, p, o_type, o FROM quads
+            UNION ALL
+            SELECT DISTINCT o AS s, '{VOCAB}postsIndex' AS p, 'NamedNode' AS o_type,
+                   regexp_replace(o, '/profile/card#me$', '/posts') AS o
+            FROM quads WHERE p LIKE '%hasCreator'
+        """,
+        "transform_append_resource_scl": f"""
+            WITH quads AS ({_ORDER_QUADS})
+            SELECT s, p, o_type, o, o_datatype FROM quads
+            UNION ALL
+            SELECT 'http://ex.org/policy1', '{SCL}appliesTo', 'NamedNode', s,
+                   CAST(NULL AS STRING)
+            FROM quads WHERE p = '{RDF_TYPE}' AND o LIKE '%Order'
+            UNION ALL
+            SELECT 'http://ex.org/policy1', '{SCL}scope', 'Literal', 'premium',
+                   '{SCL}SCL'
+            FROM quads WHERE p = '{RDF_TYPE}' AND o LIKE '%Order'
+        """,
+        "transform_composite_varying": f"""
+            WITH quads AS ({_ORDER_QUADS}),
+            mapping AS (
+              SELECT t.s AS res,
+                     CASE WHEN (list_sum(list_transform(string_split(t.o, ''), x -> ord(x))) % 2) = 0
+                          THEN split_part(t.o, '#', 1) || '#A' || i.o
+                          ELSE split_part(t.o, '#', 1) || '#B' || i.o END AS mapped
+              FROM quads t JOIN quads i ON t.s = i.s
+              WHERE t.p LIKE '%hasCreator' AND i.p LIKE '%hasId'
+            )
+            SELECT coalesce(ms.mapped, q.s) AS s, q.p, q.o_type,
+                   CASE WHEN q.o_type = 'NamedNode' THEN coalesce(mo.mapped, q.o) ELSE q.o END AS o
+            FROM quads q
+            LEFT JOIN mapping ms ON q.s = ms.res
+            LEFT JOIN mapping mo ON q.o = mo.res AND q.o_type = 'NamedNode'
+        """,
+        "transform_solid_type_index": f"""
+            WITH quads AS ({_ORDER_QUADS}),
+            res AS (
+              SELECT t.s AS res, t.o AS target,
+                     regexp_replace(split_part(t.o, '#', 1), '/[^/]*$',
+                                    '/settings/publicTypeIndex.ttl') AS ti,
+                     regexp_replace(split_part(t.o, '#', 1), '/[^/]*$', '/orders') AS inst
+              FROM quads t WHERE t.p LIKE '%hasCreator'
+            )
+            SELECT s, p, o_type, o FROM quads
+            UNION ALL SELECT target, '{SOLID}publicTypeIndex', 'NamedNode', ti FROM res
+            UNION ALL SELECT ti, '{RDF_TYPE}', 'NamedNode', '{SOLID}TypeIndex' FROM res
+            UNION ALL SELECT ti, '{RDF_TYPE}', 'NamedNode', '{SOLID}ListedDocument' FROM res
+            UNION ALL SELECT ti || '#order', '{RDF_TYPE}', 'NamedNode', '{SOLID}TypeRegistration' FROM res
+            UNION ALL SELECT ti || '#order', '{SOLID}forClass', 'NamedNode', '{VOCAB}Order' FROM res
+            UNION ALL SELECT ti || '#order', '{SOLID}instance', 'NamedNode', inst FROM res
+        """,
+        "sink_iri_to_path": f"""
+            WITH quads AS ({_ORDER_QUADS}),
+            docs AS (
+              SELECT s AS doc FROM quads
+              UNION ALL
+              SELECT o AS doc FROM quads WHERE o_type = 'NamedNode'
+            ),
+            stripped AS (SELECT doc, split_part(doc, '#', 1) AS sd FROM docs)
+            SELECT doc,
+                   CASE WHEN sd LIKE 'http://ex.org/order/%'
+                          THEN regexp_replace(sd, '^http://ex\\.org/order/', 'orders/')
+                        WHEN sd LIKE 'http://ex.org/pods/%'
+                          THEN regexp_replace(sd, '^http://ex\\.org/pods/', 'pods/')
+                        ELSE regexp_replace(sd, '^http://ex\\.org/', 'other/') END
+                   || '.nq' AS path
+            FROM stripped
+        """,
+        "source_nquads_roundtrip": f"""
+            WITH quads AS ({_ORDER_QUADS})
+            SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
+        """,
         "summary_void_dataset": f"""
             WITH quads AS ({_POD_QUADS}),
             dq AS (
@@ -473,6 +780,17 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT s) AS distinct_subjects,
                    COUNT(DISTINCT o_type || chr(31) || o) AS distinct_objects
             FROM dq GROUP BY dataset, p
+        """,
+        "summary_void_classes": f"""
+            WITH quads AS ({_POD_QUADS}),
+            dq AS (
+              SELECT regexp_extract(s, '^(http://ex\\.org/pods/[0-9]+/)', 1) AS dataset, q.*
+              FROM quads q
+            )
+            SELECT dataset, o AS rdfclass,
+                   COUNT(DISTINCT s_type || chr(31) || s) AS entities
+            FROM dq WHERE p = '{RDF_TYPE}' AND o_type = 'NamedNode'
+            GROUP BY dataset, o
         """,
         "dedup_exact": """
             WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
@@ -547,6 +865,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "text_tokens": """
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+                     AS n_ws_tokens,
+                   CAST(length(regexp_replace(
+                          regexp_replace(text, '[\\w]+|[^\\w\\s]', chr(1), 'g'),
+                          '[^' || chr(1) || ']', '', 'g')) AS BIGINT) AS n_word_units
+            FROM documents
+        """,
+        "multimodal_features": """
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CASE WHEN i % 3 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                   CAST(128 AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN i % 3 = 0 THEN 64 ELSE 128 END AS BIGINT) AS feat_dim
+            FROM range(300) t(i) WHERE i % 3 IN (0, 1)
         """,
         "sim_cosine_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 10),
