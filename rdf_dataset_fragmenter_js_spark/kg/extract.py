@@ -69,7 +69,7 @@ def extract_text(pages: DataFrame) -> DataFrame:
                 {
                     "url": pdf["url"],
                     "warc_ts": pdf["warc_ts"],
-                    "extracted_text": pdf["html"].map(extract_text_bytes),
+                    "extracted_text": _extract_text_series(pdf["html"]),
                     "lang": pdf["lang"],
                 }
             )
@@ -112,16 +112,53 @@ def extract_triples(texts: DataFrame, text_col: str = "extracted_text") -> DataF
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows: dict[str, list] = {"url": [], "subj_surface": [], "pred": [], "obj_surface": []}
-            for url, text in zip(pdf["url"], pdf[text_col]):
-                for m in _SVO_RE.finditer(text or ""):
-                    rows["url"].append(url)
-                    rows["subj_surface"].append(m.group("s"))
-                    rows["pred"].append(_PHRASE_TO_SLUG[m.group("p")])
-                    rows["obj_surface"].append(m.group("o"))
-            yield pd.DataFrame(rows)
+            yield _svo_frame(pdf["url"], pdf[text_col].fillna(""))
 
     return texts.mapInPandas(batches, schema=schema)
+
+
+#: str-dialect clones of the frozen byte-level rules — ASCII patterns, so
+#: decode-then-match ≡ match-then-decode (UTF-8 continuation bytes are
+#: ≥ 0x80 and can never alias the ASCII tag delimiters).
+_ARTICLE_RE_STR = re.compile(r"<article>(.*?)</article>", re.DOTALL)
+_HAS_ENTITY_RE = re.compile(r"&[#A-Za-z]")
+
+
+def _extract_text_series(html: pd.Series) -> pd.Series:
+    """Vectorized text extraction over a whole Arrow batch — C-level regex
+    via pandas ``.str`` ops, byte-identical to :func:`extract_text_bytes`
+    (asserted by tests/test_kg_pipeline.py). The only per-row Python is
+    ``html.unescape``, applied to the (rare) rows that actually contain an
+    ``&`` entity lead-in."""
+    text = html.str.decode("utf-8", errors="replace")
+    body = text.str.extract(_ARTICLE_RE_STR, expand=False).fillna("")
+    stripped = body.str.replace(_TAG_RE, "", regex=True)
+    has_entity = stripped.str.contains(_HAS_ENTITY_RE, regex=True)
+    if has_entity.any():
+        stripped = stripped.where(
+            ~has_entity, stripped[has_entity].map(html_mod.unescape)
+        )
+    return stripped
+
+
+def _svo_frame(url: pd.Series, text: pd.Series) -> pd.DataFrame:
+    """Vectorized SVO extraction: one ``str.extractall`` over the batch
+    (all matches, C regex loop), then an index-join back to urls."""
+    matches = text.str.extractall(_SVO_RE)
+    if len(matches) == 0:
+        return pd.DataFrame(
+            {"url": pd.Series(dtype=object), "subj_surface": pd.Series(dtype=object),
+             "pred": pd.Series(dtype=object), "obj_surface": pd.Series(dtype=object)}
+        )
+    row_idx = matches.index.get_level_values(0)
+    return pd.DataFrame(
+        {
+            "url": url.loc[row_idx].to_numpy(),
+            "subj_surface": matches["s"].to_numpy(),
+            "pred": matches["p"].map(_PHRASE_TO_SLUG).to_numpy(),
+            "obj_surface": matches["o"].to_numpy(),
+        }
+    )
 
 
 def extract_page_triples(pages: DataFrame) -> DataFrame:
@@ -130,21 +167,16 @@ def extract_page_triples(pages: DataFrame) -> DataFrame:
     Chaining two ``mapInPandas`` stages pays a second Arrow encode/decode and
     a second Python worker per task; the pipeline's hot path fuses them
     (the unfused stages remain for callers that need the intermediate
-    text). Semantics identical to ``extract_triples(extract_text(pages))``.
+    text). Semantics identical to ``extract_triples(extract_text(pages))``;
+    fully vectorized (series-level ``.str`` regex, no per-row Python loop —
+    the ``input_hint`` contract).
     """
     schema = "url string, subj_surface string, pred string, obj_surface string"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows: dict[str, list] = {"url": [], "subj_surface": [], "pred": [], "obj_surface": []}
-            for url, html_bytes in zip(pdf["url"], pdf["html"]):
-                text = extract_text_bytes(bytes(html_bytes))
-                for m in _SVO_RE.finditer(text):
-                    rows["url"].append(url)
-                    rows["subj_surface"].append(m.group("s"))
-                    rows["pred"].append(_PHRASE_TO_SLUG[m.group("p")])
-                    rows["obj_surface"].append(m.group("o"))
-            yield pd.DataFrame(rows)
+            text = _extract_text_series(pdf["html"])
+            yield _svo_frame(pdf["url"], text)
 
     return pages.mapInPandas(batches, schema=schema)
 

@@ -307,21 +307,39 @@ def bloom_summary(
         "dataset", "pr.kind", "pr.key", "pr.member"
     )
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        bf = bloem_bitfield(
-            [m.encode("utf-8") for m in pdf["member"]], hash_bits, hash_count
-        )
-        return pd.DataFrame(
-            {
-                "dataset": [pdf["dataset"].iloc[0]],
-                "kind": [pdf["kind"].iloc[0]],
-                "key": [pdf["key"].iloc[0]],
-                "bitfield_b64": [base64.b64encode(bf).decode("ascii")],
-            }
+    # Aggregation shape: per-member bit positions in one Arrow-batched UDF
+    # (one Python call per ~10k-row batch), bit-set union via JVM-side
+    # collect_set (map-side partial aggregation — only distinct positions
+    # cross the shuffle), then one small UDF over the final group rows to
+    # pack+base64. A per-group applyInPandas would instead pay one Python
+    # round-trip per (dataset, kind, key) — thousands of tiny crossings.
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from rdf_dataset_fragmenter_js_spark.functions.hashing import bloem_bit_indexes
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def bit_positions(members: pd.Series) -> pd.Series:
+        return members.map(
+            lambda m: bloem_bit_indexes(m.encode("utf-8"), hash_bits, hash_count)
         )
 
-    filters = exploded.groupBy("dataset", "kind", "key").applyInPandas(
-        build, schema="dataset string, kind string, key string, bitfield_b64 string"
+    @pandas_udf(StringType())
+    def pack_b64(position_sets: pd.Series) -> pd.Series:
+        def build(positions):
+            buf = bytearray(hash_bits // 8)
+            for idx in positions:
+                buf[idx >> 3] |= 1 << (idx & 7)
+            return base64.b64encode(bytes(buf)).decode("ascii")
+
+        return position_sets.map(build)
+
+    filters = (
+        exploded.withColumn("pos", F.explode(bit_positions(F.col("member"))))
+        .groupBy("dataset", "kind", "key")
+        .agg(F.collect_set("pos").alias("__positions"))
+        .withColumn("bitfield_b64", pack_b64(F.col("__positions")))
+        .drop("__positions")
     )
 
     # location = first matching location pattern's full match, else dataset

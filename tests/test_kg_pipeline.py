@@ -58,6 +58,33 @@ def test_triples_pr_vs_reference(spark, pages):
     assert len(ref) >= N_PAGES  # every page contributes at least 1 SVO
 
 
+def test_vectorized_text_extraction_matches_frozen_rules():
+    """The series-vectorized extractor must be byte-identical to the frozen
+    per-row rules on adversarial inputs (entities, missing article, invalid
+    utf-8, nested tags, multiline bodies, empty pages)."""
+    import pandas as pd
+
+    from rdf_dataset_fragmenter_js_spark.kg.extract import (
+        _extract_text_series,
+        extract_text_bytes,
+    )
+
+    pages = [
+        b"<html><article><p>Alice &amp; Bob &copy; 2026 &#65;</p></article></html>",
+        b"<html><body>no article here</body></html>",
+        b"<html><article>bad utf8 \xff\xfe inside</article></html>",
+        b"<html><article><div><span>nested</span> tags</div></article></html>",
+        b"<html><article>line one\nline two\n</article></html>",
+        b"",
+        b"<article></article>",
+        b"<article>A &lt;tag&gt; survives unescape</article>",
+        "<article>unicode café — ok</article>".encode(),
+    ]
+    got = _extract_text_series(pd.Series(pages)).tolist()
+    want = [extract_text_bytes(p) for p in pages]
+    assert got == want
+
+
 def test_canonicalization_merges_aliases(spark):
     rows = [("Alice Johnson",), ("A. Johnson",), ("Alice R. Johnson",), ("Bob Smith",), ("B. Smith",)]
     mentions = spark.createDataFrame(rows, ["surface"])
