@@ -27,8 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rdf_dataset_fragmenter_js_spark.kg.canonicalize import (
-    apply_canonicalization,
-    canonical_mapping,
+    apply_surface_canonicalization,
+    surface_canonical_mapping,
 )
 from rdf_dataset_fragmenter_js_spark.kg.extract import extract_page_triples
 from rdf_dataset_fragmenter_js_spark.quads import NAMED_NODE
@@ -72,10 +72,11 @@ def build_quads(pages: DataFrame, persist_intermediate: bool = True) -> DataFram
     mentions = triples.select(F.col("subj_surface").alias("surface")).unionByName(
         triples.select(F.col("obj_surface").alias("surface"))
     )
-    # The mapping is tiny (distinct surface forms); checkpoint it so the two
-    # apply-joins don't each re-derive it.
-    mapping = canonical_mapping(mentions).localCheckpoint(eager=True)
-    canonical = apply_canonicalization(triples, mapping)
+    # The mapping is tiny (distinct raw surface forms — dedup happens BEFORE
+    # any normalization regex); checkpoint it so the two apply-joins don't
+    # each re-derive it.
+    mapping = surface_canonical_mapping(mentions).localCheckpoint(eager=True)
+    canonical = apply_surface_canonicalization(triples, mapping)
     return triples_to_quads(canonical)
 
 
@@ -97,9 +98,10 @@ def fragment_and_write(
     routed = route_subject(quads)
 
     spark = quads.sparkSession
-    done_fragments = None
+    prior_manifest = None
     if _manifest_exists(spark, manifest_dir):
-        done_fragments = spark.read.parquet(manifest_dir).select("fragment").distinct()
+        prior_manifest = spark.read.parquet(manifest_dir)
+        done_fragments = prior_manifest.select("fragment").distinct()
         routed = routed.join(
             done_fragments.withColumnRenamed("fragment", "doc"), on="doc", how="left_anti"
         )
@@ -111,22 +113,33 @@ def fragment_and_write(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     routed = routed.withColumn("bucket", F.pmod(F.hash(F.col("doc")), F.lit(n_buckets)))
-    routed = routed.repartition(n_buckets, F.col("bucket"))
+    # persist: consumed twice (fragment write + lineage aggregation); the
+    # alternative — re-reading the whole fragments dataset to rebuild the
+    # manifest — would re-scan every byte ever written on every resume.
+    routed = routed.repartition(n_buckets, F.col("bucket")).persist()
     t0 = time.time()
     routed.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(output_dir, "fragments")
     )
     elapsed = time.time() - t0
 
-    lineage = (
-        spark.read.parquet(os.path.join(output_dir, "fragments"))
-        .groupBy(F.col("doc").alias("fragment"))
-        .agg(
-            F.count(F.lit(1)).alias("row_count"),
-            F.min("seq").alias("min_seq"),
-            F.max("seq").alias("max_seq"),
-        )
+    # lineage: this run's fragments only, merged with the prior manifest
+    # (incremental — manifest work scales with the delta, not the dataset)
+    new_lineage = routed.groupBy(F.col("doc").alias("fragment")).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.min("seq").alias("min_seq"),
+        F.max("seq").alias("max_seq"),
     )
+    if prior_manifest is not None:
+        lineage = prior_manifest.select(
+            "fragment", "row_count", "min_seq", "max_seq"
+        ).unionByName(new_lineage)
+    else:
+        lineage = new_lineage
+    # manifest is tiny (one row per fragment); materialize before the
+    # overwrite so reading prior_manifest and overwriting its dir don't race
+    lineage = lineage.localCheckpoint(eager=True)
+    routed.unpersist()
     lineage.write.mode("overwrite").parquet(manifest_dir)
     stats = lineage.agg(
         F.count(F.lit(1)).alias("fragments"), F.sum("row_count").alias("rows")

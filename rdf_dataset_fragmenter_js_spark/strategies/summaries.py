@@ -75,12 +75,16 @@ def assign_datasets(quads: DataFrame, dataset_patterns: list[str]) -> DataFrame:
     ).filter(F.col("dataset") != "")
 
     # bnode attribution: base links from named-subject quads with bnode objects
+    bnode_quads = quads.filter(F.col("s_type") == BLANK_NODE)
+    # short-circuit: no blank-node subjects → no attribution loop (saves the
+    # per-iteration checkpoint jobs on bnode-free corpora, the common case)
+    if bnode_quads.isEmpty():
+        return named.select("dataset", *quads.columns)
     base = (
         named.filter(F.col("o_type") == BLANK_NODE)
         .select(F.col("o").alias("bnode"), F.col("dataset"))
         .distinct()
     )
-    bnode_quads = quads.filter(F.col("s_type") == BLANK_NODE)
     edges = (
         bnode_quads.filter(F.col("o_type") == BLANK_NODE)
         .select(F.col("s").alias("src"), F.col("o").alias("dst"))

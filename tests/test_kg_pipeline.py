@@ -116,6 +116,32 @@ def test_canonicalization_driver_and_distributed_paths_agree(spark):
     assert via_driver == via_cluster
 
 
+def test_surface_keyed_and_norm_keyed_application_agree(spark, pages):
+    """The scale path (dedup raw surfaces → broadcast join, no corpus-side
+    regex) must produce the same canonical ids as the norm-keyed path."""
+    from pyspark.sql import functions as F
+
+    from rdf_dataset_fragmenter_js_spark.kg.canonicalize import (
+        apply_surface_canonicalization,
+        surface_canonical_mapping,
+    )
+    from rdf_dataset_fragmenter_js_spark.kg.extract import extract_page_triples
+
+    triples = extract_page_triples(pages).cache()
+    mentions = triples.select(F.col("subj_surface").alias("surface")).unionByName(
+        triples.select(F.col("obj_surface").alias("surface"))
+    )
+    via_norm = apply_canonicalization(triples, canonical_mapping(mentions))
+    via_surface = apply_surface_canonicalization(
+        triples, surface_canonical_mapping(mentions)
+    )
+    cols = ["url", "subj_id", "pred", "obj_id"]
+    a = sorted(tuple(r) for r in via_norm.select(*cols).collect())
+    b = sorted(tuple(r) for r in via_surface.select(*cols).collect())
+    assert a == b
+    triples.unpersist()
+
+
 def test_end_to_end_quads_and_canonical_entities(spark, pages):
     quads = build_quads(pages)
     rows = quads.collect()

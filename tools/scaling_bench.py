@@ -82,6 +82,11 @@ def run_level(cpus: int, n_pages: int) -> dict:
     build_quads(pages.limit(2000)).count()
     best_sec, n_triples = None, 0
     for _ in range(TRIALS):
+        # each trial measures the FULL cold pipeline: build_quads persists an
+        # intermediate, and Spark's cache manager would otherwise dedupe the
+        # identical plan across trials, turning trials 2+ into warm-cache
+        # measurements of only the tail phases
+        spark.catalog.clearCache()
         t0 = time.time()
         n_triples = build_quads(pages).count()
         sec = time.time() - t0
@@ -102,7 +107,7 @@ def main():
         print(json.dumps(run_level(int(sys.argv[2]), int(sys.argv[3]))))
         return
 
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 480_000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 12_000_000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
