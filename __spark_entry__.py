@@ -291,6 +291,51 @@ def q_summary_void_properties(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_pipeline_spec(spark, sf_dir):
+    """End-to-end config-driven execution: the reference's componentsjs
+    config shape (source file → transformer chain → strategy) compiled to
+    one Catalyst plan by plans/pipeline.py. The quad source is a real
+    N-Quads file on disk (serialized from the order quads), so this drives
+    source parsing, the ReplaceIri transformer, and first-match exception
+    routing through the same path a ported reference config would take."""
+    import os
+    import tempfile
+
+    from rdf_dataset_fragmenter_js_spark.plans.pipeline import compile_pipeline
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import serialize_nquads
+
+    tmp = tempfile.mkdtemp(prefix="pipeline_spec_")
+    nq_path = os.path.join(tmp, "orders.nq")
+    lines = serialize_nquads(TD.order_quads(spark, sf_dir)).select("line")
+    with open(nq_path, "w") as f:
+        f.write("\n".join(r.line for r in lines.collect()) + "\n")
+
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": nq_path},
+        "transformers": [
+            {
+                "@type": "QuadTransformerReplaceIri",
+                "searchRegex": r"^http://ex\.org/order/([0-9]+)$",
+                "replacementString": "http://ex.org/o/$1",
+            }
+        ],
+        "fragmentationStrategy": {
+            "@type": "FragmentationStrategyException",
+            "strategy": {"@type": "FragmentationStrategySubject"},
+            "exceptions": [
+                {
+                    "matcher": {
+                        "@type": "QuadMatcherPredicate",
+                        "predicateRegex": "hasCreator$",
+                    },
+                    "strategy": {"@type": "FragmentationStrategyObject"},
+                }
+            ],
+        },
+    }
+    return compile_pipeline(spark, spec).select("doc", "s", "p", "o_type", "o")
+
+
 def q_summary_void_classes(spark, sf_dir):
     quads = assign_datasets(TD.pod_quads(spark, sf_dir), [POD_PATTERN])
     is_type = (F.col("p") == RDF_TYPE) & (F.col("o_type") == "NamedNode")
@@ -449,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matcher_term_value": q_matcher_term_value,
         "sink_iri_to_path": q_sink_iri_to_path,
         "source_nquads_roundtrip": q_source_nquads_roundtrip,
+        "pipeline_spec": q_pipeline_spec,
         "summary_void_dataset": q_summary_void_dataset,
         "summary_void_properties": q_summary_void_properties,
         "summary_void_classes": q_summary_void_classes,
@@ -741,6 +787,20 @@ def oracle_sql() -> dict[str, str]:
         "source_nquads_roundtrip": f"""
             WITH quads AS ({_ORDER_QUADS})
             SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
+        """,
+        "pipeline_spec": f"""
+            WITH quads AS ({_ORDER_QUADS}),
+            transformed AS (
+              SELECT regexp_replace(s, '^http://ex\\.org/order/([0-9]+)$', 'http://ex.org/o/\\1') AS s,
+                     p, o_type,
+                     CASE WHEN o_type = 'NamedNode'
+                          THEN regexp_replace(o, '^http://ex\\.org/order/([0-9]+)$', 'http://ex.org/o/\\1')
+                          ELSE o END AS o
+              FROM quads
+            )
+            SELECT CASE WHEN p LIKE '%hasCreator' THEN o ELSE s END AS doc,
+                   s, p, o_type, o
+            FROM transformed
         """,
         "summary_void_dataset": f"""
             WITH quads AS ({_POD_QUADS}),

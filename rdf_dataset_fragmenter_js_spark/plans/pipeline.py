@@ -28,7 +28,11 @@ from rdf_dataset_fragmenter_js_spark.operators.matchers import (
     match_resource_type,
     match_term_value,
 )
-from rdf_dataset_fragmenter_js_spark.sinks.paths import map_doc_to_path, write_fragments
+from rdf_dataset_fragmenter_js_spark.sinks.paths import (
+    map_doc_to_path,
+    write_fragment_nquads,
+    write_fragments,
+)
 from rdf_dataset_fragmenter_js_spark.sources.nquads import composite_source, read_nquads
 from rdf_dataset_fragmenter_js_spark.strategies import (
     route_composite,
@@ -186,4 +190,10 @@ def run_pipeline_spec(spark: SparkSession, spec: dict[str, Any] | str, output_di
     with_path = map_doc_to_path(
         routed, sink["iriToPath"], file_extension=sink.get("fileExtension")
     )
-    write_fragments(with_path, output_dir)
+    if sink.get("outputFormat") == "parquet":
+        # scale path: per-fragment parquet partitions + manifest-friendly
+        write_fragments(with_path, output_dir)
+    else:
+        # reference-parity path: one N-Quads file per mapped path
+        # (QuadSinkFile's on-disk layout, lib/io/QuadSinkFile.ts:67-78)
+        write_fragment_nquads(with_path, output_dir).collect()

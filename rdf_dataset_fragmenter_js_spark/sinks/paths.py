@@ -109,6 +109,42 @@ def write_fragments(
     writer.partitionBy("path").parquet(output_dir)
 
 
+def write_fragment_nquads(routed_with_path: DataFrame, output_dir: str) -> DataFrame:
+    """Fixture-exact file layout: ONE N-Quads file per mapped ``path`` —
+    the reference's actual on-disk output (``QuadSinkFile`` appends
+    serialized quads to the file at each doc's mapped path,
+    ``lib/io/QuadSinkFile.ts:67-78`` + ``ParallelFileWriter``).
+
+    Spark cannot name output files arbitrarily through the native writer, so
+    each (path) group is written by its own task via ``applyInPandas`` —
+    the shuffle co-locates a fragment's quads on one task (the batch analog
+    of the reference's per-file append stream), parents are mkdir-ed
+    lazily (``ParallelFileWriter.ts:51-69``), and file content order is the
+    arrival multiset (SURVEY.md §4.3: parity is per-file quad multisets).
+
+    Returns DataFrame[path, n_quads] (the write happens when it is acted
+    on — e.g. ``.collect()`` — keeping this composable as a plan)."""
+    import os as _os
+
+    import pandas as pd
+
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import serialize_nquads
+
+    lines = serialize_nquads(routed_with_path).select("path", "line")
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = pdf["path"].iloc[0]
+        target = _os.path.join(output_dir, rel)
+        _os.makedirs(_os.path.dirname(target), exist_ok=True)
+        with open(target, "w") as f:
+            f.write("\n".join(pdf["line"]) + "\n")
+        return pd.DataFrame({"path": [rel], "n_quads": [len(pdf)]})
+
+    return lines.groupBy("path").applyInPandas(
+        write_group, schema="path string, n_quads long"
+    )
+
+
 def sink_csv(routed: DataFrame, columns: list[str], path: str) -> None:
     """``QuadSinkCsv`` (``lib/io/QuadSinkCsv.ts:42-60``): write selected quad
     term values as CSV with header; single file for parity with the

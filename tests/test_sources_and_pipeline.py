@@ -88,8 +88,17 @@ def test_pipeline_spec_end_to_end(spark, nt_file, tmp_path):
     docs = {r.doc for r in routed.select("doc").distinct().collect()}
     assert docs == {"http://localhost:3000/example.org/a"}
     run_pipeline_spec(spark, spec, str(tmp_path / "frags"))
-    written = spark.read.parquet(str(tmp_path / "frags"))
+    # outputFormat application/n-quads → reference QuadSinkFile layout: one
+    # N-Quads file at each mapped path (iriToPath maps into tmp_path/out/)
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import read_nquads
+
+    written = read_nquads(spark, str(tmp_path / "out" / "example.org" / "a"))
     assert written.count() == routed.count()
+
+    # parquet scale path still available behind outputFormat=parquet
+    spec["quadSink"]["outputFormat"] = "parquet"
+    run_pipeline_spec(spark, spec, str(tmp_path / "frags_pq"))
+    assert spark.read.parquet(str(tmp_path / "frags_pq")).count() == routed.count()
 
 
 def test_multimodal_features(spark):

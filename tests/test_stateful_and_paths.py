@@ -200,3 +200,33 @@ def test_solid_type_index(spark):
     assert ("http://pod.ex/profile/card#me", "http://www.w3.org/ns/solid/terms#publicTypeIndex", ti) in rows
     assert (ti + "#it", "http://www.w3.org/ns/solid/terms#instance", "http://pod.ex/posts") in rows
     assert (ti + "#it", "http://www.w3.org/ns/solid/terms#forClass", "ex:Person") in rows
+
+
+def test_write_fragment_nquads_roundtrip(spark, tmp_path):
+    """One N-Quads file per mapped path (the reference QuadSinkFile layout);
+    reading the files back yields the same per-path quad multisets."""
+    from rdf_dataset_fragmenter_js_spark.sinks.paths import write_fragment_nquads
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import read_nquads
+    from rdf_dataset_fragmenter_js_spark.strategies import route_subject
+
+    quads = quads_df(
+        spark,
+        [
+            quad("http://ex.org/a", "http://ex.org/p", "http://ex.org/x"),
+            quad("http://ex.org/a", "http://ex.org/p", "v1", o_type="Literal"),
+            quad("http://ex.org/b", "http://ex.org/p", 'va"l"\n2', o_type="Literal"),
+        ],
+    )
+    routed = route_subject(quads)
+    with_path = map_doc_to_path(routed, {r"^http://ex\.org/": ""}, file_extension=".nq")
+    out = str(tmp_path / "frag_out")
+    written = {r.path: r.n_quads for r in write_fragment_nquads(with_path, out).collect()}
+    assert written == {"a.nq": 2, "b.nq": 1}
+
+    a_back = read_nquads(spark, f"{out}/a.nq").select("s", "p", "o_type", "o").collect()
+    assert sorted((r.s, r.p, r.o_type, r.o) for r in a_back) == [
+        ("http://ex.org/a", "http://ex.org/p", "Literal", "v1"),
+        ("http://ex.org/a", "http://ex.org/p", "NamedNode", "http://ex.org/x"),
+    ]
+    b_back = read_nquads(spark, f"{out}/b.nq").collect()
+    assert len(b_back) == 1 and b_back[0].o == 'va"l"\n2'
