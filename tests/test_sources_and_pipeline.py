@@ -137,3 +137,71 @@ def test_sessionize(spark):
     )
     out = {(r.event_id, r.session_id) for r in sessionize(df).collect()}
     assert out == {(1, 1), (2, 1), (3, 2), (4, 1)}
+
+
+def test_sessionize_streaming_matches_batch(spark, tmp_path):
+    """Structured Streaming session windows (watermark + session_window over
+    readStream) agree with the equivalent batch session_window aggregation."""
+    from rdf_dataset_fragmenter_js_spark.streaming.sessions import sessionize_streaming
+
+    rows = [
+        (1, "u1", "2026-01-01 10:00:00"),
+        (2, "u1", "2026-01-01 10:10:00"),   # same session (gap 10m < 30m)
+        (3, "u1", "2026-01-01 12:00:00"),   # new session
+        (4, "u2", "2026-01-01 10:05:00"),
+        (5, "u2", "2026-01-01 11:00:00"),   # gap 55m -> new session
+    ]
+    events = spark.createDataFrame(rows, "event_id long, user_id string, ts string").select(
+        "event_id", "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    src = str(tmp_path / "events_stream")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        sessionize_streaming(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.n_events)
+            for r in spark.table("sessions_out").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {(r.user_id, r.n_events) for r in batch.collect()}
+    assert got == want
+    assert got == {("u1", 2), ("u1", 1), ("u2", 1)}
+
+
+def test_cli_main_runs_config(spark, nt_file, tmp_path):
+    """python -m rdf_dataset_fragmenter_js_spark <config> <outdir> — the
+    reference's CLI shape (bin/runner.ts); run in-process via main()'s
+    pipeline path to reuse the session."""
+    import json
+
+    from rdf_dataset_fragmenter_js_spark.plans.pipeline import run_pipeline_spec
+
+    config = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": nt_file},
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkFile",
+            "iriToPath": {"^http://example\\.org/": str(tmp_path) + "/cli_out/"},
+        },
+    }
+    cfg_path = str(tmp_path / "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(config, f)
+    run_pipeline_spec(spark, cfg_path, str(tmp_path / "ignored"))
+    import os
+    assert os.path.exists(str(tmp_path / "cli_out" / "a"))
