@@ -43,6 +43,28 @@ def _is(df_col: Column, term_type: str) -> Column:
     return df_col == term_type
 
 
+def _closure_driver(b_rows, e_rows) -> list[tuple[str, str]]:
+    """Driver-side ownership closure (owners propagate along src→dst edges
+    to a fixpoint) — identical semantics to the distributed loop."""
+    from collections import defaultdict, deque
+
+    own: dict[str, set] = defaultdict(set)
+    for b, o in b_rows:
+        own[b].add(o)
+    adj: dict[str, list] = defaultdict(list)
+    for s, d in e_rows:
+        adj[s].append(d)
+    queue = deque(own.keys())
+    while queue:
+        b = queue.popleft()
+        for d in adj.get(b, ()):
+            new = own[b] - own[d]
+            if new:
+                own[d] |= new
+                queue.append(d)
+    return [(b, o) for b, owners in own.items() for o in owners]
+
+
 def bnode_owners(
     quads: DataFrame,
     key: str,
@@ -50,11 +72,19 @@ def bnode_owners(
     value: str,
     value_type: str,
     max_iterations: int = MAX_ITERATIONS,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Compute the distinct (bnode, owner) ownership table.
 
     ``key``/``value`` are quad column names (e.g. ``"s"``/``"o"`` for the
     subject strategy). Returns DataFrame[bnode: string, owner: string].
+
+    Two physical strategies (same split as ``near_dup_clusters`` /
+    ``canonical_mapping``): link tables ≤ ``driver_threshold`` rows are
+    collected and closed on the driver in plain Python — the distributed
+    loop costs ~3 jobs of fixed scheduling per iteration, which dwarfs a
+    million-link BFS. Above the threshold, the iterative frontier-join loop
+    runs (the 100 TB path: only the link table iterates, never the quads).
     """
     # Base: named key → bnode value  (FragmentationBlankNodeBuffer.ts:53-64)
     base = (
@@ -68,6 +98,19 @@ def bnode_owners(
         .select(F.col(key).alias("src"), F.col(value).alias("dst"))
         .distinct()
     )
+
+    if driver_threshold:
+        b_rows = base.limit(driver_threshold + 1).collect()
+        if len(b_rows) <= driver_threshold:
+            e_rows = edges.limit(driver_threshold + 1).collect()
+            if len(e_rows) <= driver_threshold:
+                pairs = _closure_driver(
+                    [(r[0], r[1]) for r in b_rows], [(r[0], r[1]) for r in e_rows]
+                )
+                spark = quads.sparkSession
+                if not pairs:
+                    return spark.createDataFrame([], "bnode string, owner string")
+                return spark.createDataFrame(pairs, "bnode string, owner string")
 
     owners = base.localCheckpoint(eager=True)
     frontier = owners

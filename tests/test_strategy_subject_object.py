@@ -147,3 +147,36 @@ def test_object_strategy_bnode_owned_by_object(spark):
             routed("ex:o1", "ex:s", P, "b1", o_type="BlankNode"),
         ]
     )
+
+
+def test_bnode_owners_driver_and_distributed_agree(spark):
+    """Both physical strategies of the ownership closure produce the same
+    (bnode, owner) table on chains and multi-owner graphs."""
+    from rdf_dataset_fragmenter_js_spark.strategies.bnode import bnode_owners
+
+    quads = quads_df(
+        spark,
+        [
+            quad("http://ex.org/a", "http://ex.org/p", "b1", o_type="BlankNode"),
+            quad("http://ex.org/b", "http://ex.org/p", "b1", o_type="BlankNode"),
+            quad("b1", "http://ex.org/p", "b2", s_type="BlankNode", o_type="BlankNode"),
+            quad("b2", "http://ex.org/p", "b3", s_type="BlankNode", o_type="BlankNode"),
+            quad("b9", "http://ex.org/p", "x", s_type="BlankNode", o_type="Literal"),
+        ],
+    )
+    via_driver = {
+        (r.bnode, r.owner)
+        for r in bnode_owners(quads, "s", "s_type", "o", "o_type").collect()
+    }
+    via_cluster = {
+        (r.bnode, r.owner)
+        for r in bnode_owners(
+            quads, "s", "s_type", "o", "o_type", driver_threshold=0
+        ).collect()
+    }
+    assert via_driver == via_cluster
+    assert via_driver == {
+        ("b1", "http://ex.org/a"), ("b1", "http://ex.org/b"),
+        ("b2", "http://ex.org/a"), ("b2", "http://ex.org/b"),
+        ("b3", "http://ex.org/a"), ("b3", "http://ex.org/b"),
+    }
