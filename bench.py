@@ -90,7 +90,19 @@ def kg_throughput(spark, sf: float) -> tuple[float, int, float]:
         n_triples = build_quads(pages).count()
         trial = time.time() - t0
         sec = trial if sec is None or trial < sec else sec
-    return (n_triples / sec if sec > 0 else 0.0, n_triples, sec)
+
+    # full materialization leg: subject-fragment routing + partitioned
+    # parquet write with checkpoint manifest + per-fragment lineage (the
+    # north-rule output path), timed separately from the compute leg
+    from rdf_dataset_fragmenter_js_spark.kg.pipeline import fragment_and_write
+
+    spark.catalog.clearCache()
+    out = tempfile.mkdtemp(prefix="kg_bench_frags_")
+    t0 = time.time()
+    frag_metrics = fragment_and_write(build_quads(pages), out)
+    frag_sec = time.time() - t0
+    frag_metrics["total_sec"] = round(frag_sec, 3)
+    return (n_triples / sec if sec > 0 else 0.0, n_triples, sec, frag_metrics)
 
 
 def main():
@@ -110,8 +122,9 @@ def main():
         materialize(qfns[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    tps, n_triples, kg_sec = kg_throughput(spark, sf)
+    tps, n_triples, kg_sec, frag_metrics = kg_throughput(spark, sf)
     timings["kg_pipeline"] = round(kg_sec, 3)
+    timings["kg_fragment_write"] = frag_metrics["total_sec"]
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -122,6 +135,7 @@ def main():
         "sf": sf,
         "total_sec": total,
         "kg_triples": n_triples,
+        "kg_fragments": frag_metrics["fragments"],
         "cpus": cpus,
     }
     print(json.dumps(out))
