@@ -381,6 +381,16 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash16(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the LSH near-dup pairs → cluster id per doc
+    (min member). Oracle: DuckDB recursive-CTE transitive closure."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(docs, k=8, bands=4, shingle_size=8)
+    return D.near_dup_clusters(pairs).select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
 def q_text_quality(spark, sf_dir):
     out = Q.quality_features(_docs(spark, sf_dir))
     return out.select(
@@ -502,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -882,6 +893,27 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i
             JOIN sizes na ON na.doc_id = i.doc_a
             JOIN sizes nb ON nb.doc_id = i.doc_b
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES.strip()},
+            {_MINHASH_SIG},
+            {_BANDED},
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(a, b) AS (
+              SELECT s, s FROM (SELECT s FROM edges UNION SELECT d FROM edges)
+              UNION
+              SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+            )
+            SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY a
         """,
         "dedup_simhash": f"""
             WITH toks AS (

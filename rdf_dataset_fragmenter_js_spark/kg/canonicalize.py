@@ -59,12 +59,20 @@ def ngram_containment_pairs(
 
 
 def normalize_surface_col(col):
-    """Normalization rule: lowercase; drop single-letter initials (tokens
-    like 'a.'/'r.'); strip non-alpha except spaces; collapse whitespace."""
+    """Normalization rule: lowercase; strip non-alpha except spaces; drop
+    single-letter tokens (initials like 'a.'/'r.' reduce to one letter after
+    the strip); single-space join.
+
+    Deliberately boundary-free: an earlier formulation used ``\\b`` to strip
+    initials, and Java's ``\\b`` treats Unicode letters as word chars while
+    Python's ``re.ASCII`` does not — a one-character dialect divergence
+    between this Column path and the driver replica
+    (:func:`_normalize_surface_py`), caught by
+    tests/test_properties.py. split/filter/join has no dialect."""
     c = F.lower(col)
-    c = F.regexp_replace(c, r"\b[a-z]\.\s*", "")  # initials
     c = F.regexp_replace(c, r"[^a-z ]", "")
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    toks = F.filter(F.split(c, " "), lambda t: F.length(t) > 1)
+    return F.array_join(toks, " ")
 
 
 def surface_counts(mentions: DataFrame, surface_col: str = "surface") -> DataFrame:
@@ -89,18 +97,15 @@ def _shingles3(s: str) -> set:
     return {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
 
 
-#: driver-side replica of :func:`normalize_surface_col` — re.ASCII pins the
-#: char classes to the Java-regex (ASCII) semantics of the Column version
-_INITIALS_RE = __import__("re").compile(r"\b[a-z]\.\s*", __import__("re").ASCII)
+#: driver-side replica of :func:`normalize_surface_col` — the explicit
+#: ``[^a-z ]`` class is identical in the Java and Python dialects, and the
+#: token filter replaces any boundary construct (see the Column docstring)
 _NON_ALPHA_RE = __import__("re").compile(r"[^a-z ]", __import__("re").ASCII)
-_WS_RE = __import__("re").compile(r"\s+", __import__("re").ASCII)
 
 
 def _normalize_surface_py(s: str) -> str:
-    s = s.lower()
-    s = _INITIALS_RE.sub("", s)
-    s = _NON_ALPHA_RE.sub("", s)
-    return _WS_RE.sub(" ", s).strip(" ")
+    s = _NON_ALPHA_RE.sub("", s.lower())
+    return " ".join(t for t in s.split(" ") if len(t) > 1)
 
 
 def _canonical_mapping_driver_dict(
