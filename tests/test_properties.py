@@ -145,3 +145,16 @@ def test_canonical_clusters_match_connectivity(pairs):
     rep_of = {f.replace(" ", "_"): c for f, c in out.items()}
     for c in set(out.values()):
         assert rep_of.get(c, c) == c
+
+
+def test_imurmurhash_canonical_vectors():
+    """Pin the hash to published MurmurHash3 x86-32 seed-0 test vectors —
+    for ASCII input, npm imurmurhash (the reference's hash) equals standard
+    MurmurHash3 over the ASCII bytes."""
+    from rdf_dataset_fragmenter_js_spark.functions.hashing import imurmurhash
+
+    assert imurmurhash("") == 0x0
+    assert imurmurhash("test") == 0xBA6BD213
+    assert imurmurhash("hello") == 0x248BFA47
+    assert imurmurhash("Hello, world!") == 0xC0363E43
+    assert imurmurhash("The quick brown fox jumps over the lazy dog") == 0x2E4FF723
