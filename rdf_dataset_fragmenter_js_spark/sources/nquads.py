@@ -76,8 +76,42 @@ def parse_nquads_lines(lines: DataFrame, text_col: str = "value") -> DataFrame:
     return parsed
 
 
+def parse_nquads_strict(lines: DataFrame, text_col: str = "value") -> DataFrame:
+    """Like :func:`parse_nquads_lines` but malformed (non-comment, non-blank,
+    non-matching) lines raise at action time — the reference parser's
+    error behavior, expressed with ``raise_error`` inside the plan so no
+    extra pass over the data is needed."""
+    c = F.col(text_col)
+    checked = lines.withColumn(
+        text_col,
+        F.when(
+            c.rlike(r"^\s*(#|$)") | (F.regexp_extract(c, NQUADS_LINE, 0) != ""),
+            c,
+        ).otherwise(
+            F.raise_error(F.concat(F.lit("Malformed N-Quads line: "), c))
+        ),
+    )
+    return parse_nquads_lines(checked, text_col)
+
+
+#: extensions the vectorized parser handles; other RDF serializations
+#: (.ttl/.rdf/.jsonld — the reference delegates those to rdf-parse) are not
+#: line-parallel and are rejected fail-fast rather than silently mis-parsed
+SUPPORTED_EXTENSIONS = (".nt", ".nq", ".ntriples", ".nquads")
+
+
 def read_nquads(spark: SparkSession, path: str) -> DataFrame:
     """``QuadSourceFile`` (``lib/io/QuadSourceFile.ts:19-25``) for .nt/.nq."""
+    lowered = path.lower()
+    dotted = "." in lowered.rsplit("/", 1)[-1]
+    if dotted and not lowered.endswith(SUPPORTED_EXTENSIONS) and not lowered.endswith("*"):
+        raise NotImplementedError(
+            f"QuadSourceFile: unsupported RDF serialization for '{path}' — the "
+            f"vectorized line parser handles {SUPPORTED_EXTENSIONS}; other "
+            "formats (Turtle, RDF/XML, JSON-LD — rdf-parse formats in the "
+            "reference, lib/io/QuadSourceFile.ts:21) need a full RDF parser "
+            "and are not line-splittable for distributed reads"
+        )
     return parse_nquads_lines(spark.read.text(path))
 
 

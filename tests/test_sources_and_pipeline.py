@@ -205,3 +205,26 @@ def test_cli_main_runs_config(spark, nt_file, tmp_path):
     run_pipeline_spec(spark, cfg_path, str(tmp_path / "ignored"))
     import os
     assert os.path.exists(str(tmp_path / "cli_out" / "a"))
+
+
+def test_strict_parse_and_unsupported_format(spark, tmp_path):
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import (
+        parse_nquads_lines,
+        parse_nquads_strict,
+    )
+
+    lines = spark.createDataFrame(
+        [("<http://a> <http://p> <http://b> .",), ("garbage line",), ("# ok",)],
+        "value string",
+    )
+    # lenient parser drops garbage
+    assert parse_nquads_lines(lines).count() == 1
+    # strict parser raises at action time
+    with pytest.raises(Exception, match="Malformed N-Quads line"):
+        parse_nquads_strict(lines).count()
+
+    # unsupported serializations fail fast instead of silently mis-parsing
+    p = tmp_path / "data.ttl"
+    p.write_text("@prefix ex: <http://example.org/> . ex:a ex:p ex:b .")
+    with pytest.raises(NotImplementedError, match="unsupported RDF serialization"):
+        read_nquads(spark, str(p))
