@@ -128,6 +128,37 @@ def synthetic_webpages(spark: SparkSession, n: int, pods: int = 50) -> DataFrame
     )
 
 
+#: the north-rule input contract (BASELINE.json input_hint)
+PAGE_COLUMNS = {"url", "warc_ts", "html", "text", "lang"}
+
+
+def read_pages(spark: SparkSession, source: str, format: str = "parquet") -> DataFrame:
+    """North-rule input reader: a Common-Crawl-style web-page table with
+    columns (url string, warc_ts timestamp, html binary, text string,
+    lang string).
+
+    ``format='iceberg'`` loads an Iceberg table (``spark.read.format(
+    'iceberg').load(name)``) — requires ``iceberg-spark-runtime`` on the
+    cluster classpath (not bundled in this sandbox, so local tests use
+    ``format='parquet'`` over the same schema: parquet is the file layer an
+    Iceberg table manages; every downstream operator is identical). The
+    schema contract is validated eagerly so a mis-pointed table fails at
+    submit time, not three stages into the pipeline."""
+    if format == "iceberg":
+        df = spark.read.format("iceberg").load(source)
+    elif format == "parquet":
+        df = spark.read.parquet(source)
+    else:
+        raise ValueError(f"unsupported page-table format: {format}")
+    missing = PAGE_COLUMNS - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"page table {source!r} is missing required columns {sorted(missing)}; "
+            f"expected at least {sorted(PAGE_COLUMNS)} (BASELINE.json input_hint)"
+        )
+    return df
+
+
 def alias_to_canonical() -> dict[str, str]:
     """Ground-truth alias → canonical map (for P/R scoring in tests)."""
     out = {}

@@ -170,3 +170,20 @@ def test_fragment_write_manifest_and_resume(spark, pages, tmp_path):
     metrics2 = fragment_and_write(quads, out)
     assert metrics2["rows"] == metrics["rows"]
     quads.unpersist()
+
+
+def test_read_pages_contract(spark, pages, tmp_path):
+    from rdf_dataset_fragmenter_js_spark.kg.webpages import read_pages
+
+    src = str(tmp_path / "pages_pq")
+    pages.write.mode("overwrite").parquet(src)
+    df = read_pages(spark, src, format="parquet")
+    assert {"url", "warc_ts", "html", "text", "lang"} <= set(df.columns)
+    assert df.count() == pages.count()
+
+    bad = str(tmp_path / "bad_pq")
+    pages.drop("html").write.mode("overwrite").parquet(bad)
+    with pytest.raises(ValueError, match="missing required columns.*html"):
+        read_pages(spark, bad, format="parquet")
+    with pytest.raises(ValueError, match="unsupported page-table format"):
+        read_pages(spark, src, format="csv")
