@@ -336,6 +336,28 @@ def q_pipeline_spec(spark, sf_dir):
     return compile_pipeline(spark, spec).select("doc", "s", "p", "o_type", "o")
 
 
+def _link_fixture():
+    from rdf_dataset_fragmenter_js_spark.kg.webpages import CITIES, ORGS, PERSONS
+
+    aliases = [a for pool in (PERSONS, ORGS, CITIES) for _, als in pool for a in als]
+    entities = [
+        (c, c.replace("_", " ")) for pool in (PERSONS, ORGS, CITIES) for c, _ in pool
+    ]
+    return aliases, entities
+
+
+def q_kg_entity_link(spark, sf_dir):
+    """Entity-link scoring (north-rule stage): every alias surface form
+    scored against the canonical entity catalog — token blocking + trigram
+    Jaccard (basis points, exact integer arithmetic) + per-mention argmax."""
+    from rdf_dataset_fragmenter_js_spark.kg.link import link_mentions
+
+    aliases, entities = _link_fixture()
+    mentions = spark.createDataFrame([(a,) for a in aliases], "mention string")
+    ents = spark.createDataFrame(entities, "entity_id string, name string")
+    return link_mentions(mentions, ents, threshold_bp=2000)
+
+
 def q_summary_void_classes(spark, sf_dir):
     quads = assign_datasets(TD.pod_quads(spark, sf_dir), [POD_PATTERN])
     is_type = (F.col("p") == RDF_TYPE) & (F.col("o_type") == "NamedNode")
@@ -505,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_iri_to_path": q_sink_iri_to_path,
         "source_nquads_roundtrip": q_source_nquads_roundtrip,
         "pipeline_spec": q_pipeline_spec,
+        "kg_entity_link": q_kg_entity_link,
         "summary_void_dataset": q_summary_void_dataset,
         "summary_void_properties": q_summary_void_properties,
         "summary_void_classes": q_summary_void_classes,
@@ -605,8 +628,55 @@ _BUCKET8 = " || ".join(
 )
 
 
+def _entity_link_oracle() -> str:
+    aliases, entities = _link_fixture()
+    m_values = ", ".join(f"('{a}')" for a in aliases)
+    e_values = ", ".join(f"('{i}', '{n}')" for i, n in entities)
+    norm = (
+        "array_to_string(list_filter(string_split("
+        "regexp_replace(lower({c}), '[^a-z ]', '', 'g'), ' '), t -> len(t) > 0), ' ')"
+    )
+    grams = (
+        "(SELECT array_agg(DISTINCT substring(replace({n}, ' ', ''), g, 3)) "
+        "FROM unnest(generate_series(1, greatest(length(replace({n}, ' ', '')) - 2, 1))) t(g))"
+    )
+    return f"""
+        WITH m(mention) AS (VALUES {m_values}),
+        e(entity_id, name) AS (VALUES {e_values}),
+        mn AS (SELECT mention, {norm.format(c="mention")} AS m_norm
+               FROM (SELECT DISTINCT mention FROM m) WHERE {norm.format(c="mention")} <> ''),
+        en AS (SELECT entity_id, {norm.format(c="name")} AS e_norm FROM e
+               WHERE {norm.format(c="name")} <> ''),
+        mg AS (SELECT mention, m_norm, {grams.format(n="m_norm")} AS ga FROM mn),
+        eg AS (SELECT entity_id, e_norm, {grams.format(n="e_norm")} AS gb FROM en),
+        mb AS (SELECT mention, block FROM (
+                 SELECT mention, unnest(list_distinct([string_split(m_norm, ' ')[1],
+                                                       string_split(m_norm, ' ')[-1]])) AS block
+                 FROM mn)),
+        eb AS (SELECT entity_id, block FROM (
+                 SELECT entity_id, unnest(list_distinct([string_split(e_norm, ' ')[1],
+                                                         string_split(e_norm, ' ')[-1]])) AS block
+                 FROM en)),
+        pairs AS (SELECT DISTINCT mb.mention, eb.entity_id FROM mb JOIN eb USING (block)),
+        scored AS (
+          SELECT p.mention, p.entity_id,
+                 CAST(floor(len(list_intersect(mg.ga, eg.gb)) * 10000.0 /
+                            greatest(len(list_distinct(list_concat(mg.ga, eg.gb))), 1)) AS BIGINT)
+                   AS score_bp
+          FROM pairs p JOIN mg ON p.mention = mg.mention JOIN eg ON p.entity_id = eg.entity_id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY mention
+                                       ORDER BY score_bp DESC, entity_id) AS rn
+          FROM scored
+        )
+        SELECT mention, entity_id, score_bp FROM ranked WHERE rn = 1 AND score_bp >= 2000
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "kg_entity_link": _entity_link_oracle(),
         "frag_subject": f"""
             WITH quads AS ({_ORDER_QUADS})
             SELECT s AS doc, s_type, s, p, o_type, o FROM quads

@@ -187,3 +187,28 @@ def test_read_pages_contract(spark, pages, tmp_path):
         read_pages(spark, bad, format="parquet")
     with pytest.raises(ValueError, match="unsupported page-table format"):
         read_pages(spark, src, format="csv")
+
+
+def test_entity_link_scoring_links_aliases(spark):
+    """Every alias surface links to its ground-truth canonical entity via
+    token blocking + trigram-Jaccard argmax (the north-rule link-scoring
+    stage)."""
+    from rdf_dataset_fragmenter_js_spark.kg.link import link_mentions
+    from rdf_dataset_fragmenter_js_spark.kg.webpages import CITIES, ORGS, PERSONS
+
+    truth = {
+        a: c for pool in (PERSONS, ORGS, CITIES) for c, als in pool for a in als
+    }
+    mentions = spark.createDataFrame([(a,) for a in truth], "mention string")
+    ents = spark.createDataFrame(
+        [(c, c.replace("_", " ")) for pool in (PERSONS, ORGS, CITIES) for c, _ in pool],
+        "entity_id string, name string",
+    )
+    linked = {r.mention: r.entity_id for r in link_mentions(mentions, ents, threshold_bp=2000).collect()}
+    assert linked == truth
+    # blocked and unblocked scoring agree on the argmax
+    linked_full = {
+        r.mention: r.entity_id
+        for r in link_mentions(mentions, ents, threshold_bp=2000, block=False).collect()
+    }
+    assert linked_full == truth
