@@ -100,17 +100,24 @@ def bnode_owners(
     )
 
     if driver_threshold:
-        b_rows = base.limit(driver_threshold + 1).collect()
-        if len(b_rows) <= driver_threshold:
-            e_rows = edges.limit(driver_threshold + 1).collect()
-            if len(e_rows) <= driver_threshold:
+        # Arrow-batched transfer both ways: toPandas and a pandas-backed
+        # createDataFrame move columnar batches, not 300k py4j Row objects
+        # (the Row path costs seconds at fixture scale).
+        b_pdf = base.limit(driver_threshold + 1).toPandas()
+        if len(b_pdf) <= driver_threshold:
+            e_pdf = edges.limit(driver_threshold + 1).toPandas()
+            if len(e_pdf) <= driver_threshold:
+                import pandas as pd
+
                 pairs = _closure_driver(
-                    [(r[0], r[1]) for r in b_rows], [(r[0], r[1]) for r in e_rows]
+                    list(zip(b_pdf["bnode"], b_pdf["owner"])),
+                    list(zip(e_pdf["src"], e_pdf["dst"])),
                 )
                 spark = quads.sparkSession
                 if not pairs:
                     return spark.createDataFrame([], "bnode string, owner string")
-                return spark.createDataFrame(pairs, "bnode string, owner string")
+                out = pd.DataFrame(pairs, columns=["bnode", "owner"])
+                return spark.createDataFrame(out)
 
     owners = base.localCheckpoint(eager=True)
     frontier = owners
