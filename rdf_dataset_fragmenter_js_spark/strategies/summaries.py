@@ -26,10 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-from rdf_dataset_fragmenter_js_spark.functions.hashing import (
-    bloem_bitfield,
-    imurmurhash_hex,
-)
+from rdf_dataset_fragmenter_js_spark.functions.hashing import imurmurhash_hex
 from rdf_dataset_fragmenter_js_spark.quads import (
     BLANK_NODE,
     LITERAL,
