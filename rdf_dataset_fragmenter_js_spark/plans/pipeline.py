@@ -30,6 +30,8 @@ from rdf_dataset_fragmenter_js_spark.operators.matchers import (
 )
 from rdf_dataset_fragmenter_js_spark.sinks.paths import (
     map_doc_to_path,
+    sink_csv,
+    sink_filtered,
     write_fragment_nquads,
     write_fragments,
 )
@@ -184,16 +186,43 @@ def run_pipeline_spec(spark: SparkSession, spec: dict[str, Any] | str, output_di
         with open(spec) as f:
             spec = json.load(f)
     routed = compile_pipeline(spark, spec)
-    sink = spec["quadSink"]
-    if sink["@type"] not in ("QuadSinkFile",):
-        raise ValueError(f"Unknown sink @type {sink['@type']} (lib/io/)")
-    with_path = map_doc_to_path(
-        routed, sink["iriToPath"], file_extension=sink.get("fileExtension")
-    )
-    if sink.get("outputFormat") == "parquet":
-        # scale path: per-fragment parquet partitions + manifest-friendly
-        write_fragments(with_path, output_dir)
+    run_sink(spark, routed, spec["quadSink"], output_dir)
+
+
+def run_sink(spark: SparkSession, routed: DataFrame, sink: dict[str, Any], output_dir: str) -> None:
+    """Execute one sink spec over a routed (doc, quad) DataFrame.
+
+    Supported ``@type``s (``lib/io/``): ``QuadSinkFile`` (iriToPath mapping;
+    ``outputFormat`` ``application/n-quads`` → one N-Quads file per path,
+    ``parquet`` → partitioned scale write), ``QuadSinkCsv`` (column
+    selection), ``QuadSinkFiltered`` (matcher-gated wrap), and
+    ``QuadSinkComposite`` (fan-out — the routed frame is persisted so the
+    shared upstream computes once across the N write actions, the batch
+    analog of the reference's sequential ``push`` fan-out,
+    ``QuadSinkComposite.ts:14-24``)."""
+    t = sink["@type"]
+    if t == "QuadSinkFile":
+        with_path = map_doc_to_path(
+            routed, sink["iriToPath"], file_extension=sink.get("fileExtension")
+        )
+        if sink.get("outputFormat") == "parquet":
+            # scale path: per-fragment parquet partitions + manifest-friendly
+            write_fragments(with_path, output_dir)
+        else:
+            # reference-parity path: one N-Quads file per mapped path
+            # (QuadSinkFile's on-disk layout, lib/io/QuadSinkFile.ts:67-78)
+            write_fragment_nquads(with_path, output_dir).collect()
+    elif t == "QuadSinkCsv":
+        sink_csv(routed, sink["columns"], sink["filePath"])
+    elif t == "QuadSinkFiltered":
+        filtered = sink_filtered(routed, build_matcher(sink["matcher"]))
+        run_sink(spark, filtered, sink["sink"], output_dir)
+    elif t == "QuadSinkComposite":
+        routed = routed.persist()
+        try:
+            for child in sink["sinks"]:
+                run_sink(spark, routed, child, output_dir)
+        finally:
+            routed.unpersist()
     else:
-        # reference-parity path: one N-Quads file per mapped path
-        # (QuadSinkFile's on-disk layout, lib/io/QuadSinkFile.ts:67-78)
-        write_fragment_nquads(with_path, output_dir).collect()
+        raise ValueError(f"Unknown sink @type {t} (lib/io/)")

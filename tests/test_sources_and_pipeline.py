@@ -228,3 +228,45 @@ def test_strict_parse_and_unsupported_format(spark, tmp_path):
     p.write_text("@prefix ex: <http://example.org/> . ex:a ex:p ex:b .")
     with pytest.raises(NotImplementedError, match="unsupported RDF serialization"):
         read_nquads(spark, str(p))
+
+
+def test_pipeline_composite_filtered_csv_sinks(spark, nt_file, tmp_path):
+    """QuadSinkComposite fan-out with a filtered N-Quads branch and a CSV
+    branch — the remaining lib/io sink @types, end-to-end from config."""
+    import csv
+    import glob
+
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": nt_file},
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkComposite",
+            "sinks": [
+                {
+                    "@type": "QuadSinkFiltered",
+                    "matcher": {"@type": "QuadMatcherPredicate", "predicateRegex": "/p$"},
+                    "sink": {
+                        "@type": "QuadSinkFile",
+                        "iriToPath": {"^http://example\\.org/": str(tmp_path) + "/filt/"},
+                    },
+                },
+                {
+                    "@type": "QuadSinkCsv",
+                    "columns": ["subject", "predicate"],
+                    "filePath": str(tmp_path / "out_csv"),
+                },
+            ],
+        },
+    }
+    run_pipeline_spec(spark, spec, str(tmp_path / "unused"))
+
+    # filtered branch: only predicate ~ /p$ quads reach the file sink
+    filt = read_nquads(spark, str(tmp_path / "filt" / "a"))
+    assert {r.p for r in filt.collect()} == {"http://example.org/p"}
+
+    # csv branch: all routed quads, selected columns with header
+    csv_file = glob.glob(str(tmp_path / "out_csv" / "*.csv"))[0]
+    with open(csv_file) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["subject", "predicate"]
+    assert len(rows) - 1 == 5  # 5 routed quads (subject strategy, no bnode owners... )
