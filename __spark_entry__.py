@@ -336,6 +336,40 @@ def q_pipeline_spec(spark, sf_dir):
     return compile_pipeline(spark, spec).select("doc", "s", "p", "o_type", "o")
 
 
+def q_pipeline_spec_summary(spark, sf_dir):
+    """Config-compiled dataset-summary strategy: the reference's
+    ``FragmentationStrategyDatasetSummaryVoID`` @type (lib/strategy/
+    FragmentationStrategyDatasetSummaryVoID.ts:10-12) compiled by
+    plans/pipeline.py from a componentsjs-shaped spec — source file parse →
+    dataset assignment (datasetPatterns) → VoID aggregation, one lazy plan.
+    Filtered to the dataset-level quads (partition quads carry murmur
+    fragment IRIs, checked separately by summary_bloom/golden tests)."""
+    import os
+    import tempfile
+
+    from rdf_dataset_fragmenter_js_spark.plans.pipeline import compile_pipeline
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import serialize_nquads
+
+    tmp = tempfile.mkdtemp(prefix="pipeline_spec_summary_")
+    nq_path = os.path.join(tmp, "pods.nq")
+    lines = serialize_nquads(TD.pod_quads(spark, sf_dir)).select("line")
+    with open(nq_path, "w") as f:
+        f.write("\n".join(r.line for r in lines.collect()) + "\n")
+
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": nq_path},
+        "fragmentationStrategy": {
+            "@type": "FragmentationStrategyDatasetSummaryVoID",
+            "datasetPatterns": [POD_PATTERN],
+        },
+    }
+    out = compile_pipeline(spark, spec)
+    return out.filter(
+        (F.col("s") == F.col("doc"))
+        & ~F.col("p").isin(VOID + "propertyPartition", VOID + "classPartition")
+    ).select("doc", "p", "o_type", "o")
+
+
 def _link_fixture():
     from rdf_dataset_fragmenter_js_spark.kg.webpages import CITIES, ORGS, PERSONS
 
@@ -527,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_iri_to_path": q_sink_iri_to_path,
         "source_nquads_roundtrip": q_source_nquads_roundtrip,
         "pipeline_spec": q_pipeline_spec,
+        "pipeline_spec_summary": q_pipeline_spec_summary,
         "kg_entity_link": q_kg_entity_link,
         "summary_void_dataset": q_summary_void_dataset,
         "summary_void_properties": q_summary_void_properties,
@@ -890,6 +925,31 @@ def oracle_sql() -> dict[str, str]:
               FROM quads q
               JOIN orders o ON q.s = 'http://ex.org/pods/' || CAST(o.o_custkey AS STRING)
                                || '/order/' || CAST(o.o_orderkey AS STRING)
+            ),
+            agg AS (
+              SELECT dataset,
+                     COUNT(*) AS triples,
+                     COUNT(DISTINCT s) AS distinct_subjects,
+                     COUNT(DISTINCT o_type || chr(31) || o) AS distinct_objects,
+                     COUNT(DISTINCT p) AS properties,
+                     COUNT(DISTINCT CASE WHEN p = '{RDF_TYPE}' THEN o END) AS classes
+              FROM dq GROUP BY dataset
+            )
+            SELECT dataset AS doc, '{RDF_TYPE}' AS p, 'NamedNode' AS o_type, '{VOID}Dataset' AS o FROM agg
+            UNION ALL SELECT dataset, '{VOID}uriSpace', 'Literal', dataset FROM agg
+            UNION ALL SELECT dataset, '{VOID}classes', 'Literal', CAST(classes AS STRING) FROM agg
+            UNION ALL SELECT dataset, '{VOID}triples', 'Literal', CAST(triples AS STRING) FROM agg
+            UNION ALL SELECT dataset, '{VOID}properties', 'Literal', CAST(properties AS STRING) FROM agg
+            UNION ALL SELECT dataset, '{VOID}distinctSubjects', 'Literal', CAST(distinct_subjects AS STRING) FROM agg
+            UNION ALL SELECT dataset, '{VOID}distinctObjects', 'Literal', CAST(distinct_objects AS STRING) FROM agg
+            UNION ALL SELECT dataset, '{VOID}vocabulary', 'NamedNode', 'http://ex.org/vocab' FROM agg
+            UNION ALL SELECT dataset, '{VOID}vocabulary', 'NamedNode', 'http://www.w3.org/1999/02/22-rdf-syntax-ns' FROM agg
+        """,
+        "pipeline_spec_summary": f"""
+            WITH quads AS ({_POD_QUADS}),
+            dq AS (
+              SELECT regexp_extract(s, '^(http://ex\\.org/pods/[0-9]+/)', 1) AS dataset, q.*
+              FROM quads q
             ),
             agg AS (
               SELECT dataset,

@@ -210,7 +210,13 @@ def append_quad(
                 F.lit(spec.get("datatype")),
                 F.lit(spec.get("language")),
             )
-        return F.col(TERM_COLUMNS[spec["component"]][1] or "s_type"), F.col(src_value), F.lit(None), F.lit(None)
+        # component reference keeps the source term's own type; predicate and
+        # graph components are always NamedNodes (TermTemplateQuadComponent
+        # returns the component term as-is — lib/transform/termtemplate/
+        # TermTemplateQuadComponent.ts:12-17)
+        src_type_col = TERM_COLUMNS[spec["component"]][1]
+        src_type = F.col(src_type_col) if src_type_col else F.lit(NAMED_NODE)
+        return src_type, F.col(src_value), F.lit(None), F.lit(None)
 
     def transform(df: DataFrame) -> DataFrame:
         matched = marker(df).filter(F.col("__match")).drop("__match")

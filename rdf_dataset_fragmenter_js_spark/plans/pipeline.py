@@ -44,6 +44,11 @@ from rdf_dataset_fragmenter_js_spark.strategies import (
     route_resource_object,
     route_subject,
 )
+from rdf_dataset_fragmenter_js_spark.strategies.summaries import (
+    assign_datasets,
+    bloom_summary,
+    void_summary,
+)
 
 Marker = Callable[[DataFrame], DataFrame]
 
@@ -157,6 +162,26 @@ def build_strategy(spec: dict[str, Any]):
             for e in spec["exceptions"]
         ]
         return lambda df: route_exception(df, base, exceptions)
+    if t == "FragmentationStrategyDatasetSummaryVoID":
+        # lib/strategy/FragmentationStrategyDatasetSummaryVoID.ts:10-12 —
+        # dataset assignment (datasetPatterns) + per-dataset VoID summary
+        # quads, routed at doc = dataset. Usually composed with a base
+        # strategy via FragmentationStrategyComposite, exactly as in the
+        # reference's SolidBench configs.
+        patterns = list(spec["datasetPatterns"])
+        return lambda df: void_summary(assign_datasets(df, patterns))
+    if t == "FragmentationStrategyDatasetSummaryBloom":
+        # lib/strategy/FragmentationStrategyDatasetSummaryBloom.ts:10-38
+        patterns = list(spec["datasetPatterns"])
+        hash_bits = int(spec["hashBits"])
+        hash_count = int(spec["hashCount"])
+        location_patterns = list(spec.get("locationPatterns") or []) or None
+        return lambda df: bloom_summary(
+            assign_datasets(df, patterns),
+            hash_bits=hash_bits,
+            hash_count=hash_count,
+            location_patterns=location_patterns,
+        )
     raise ValueError(f"Unknown strategy @type {t} (lib/strategy/)")
 
 
@@ -189,6 +214,19 @@ def run_pipeline_spec(spark: SparkSession, spec: dict[str, Any] | str, output_di
     run_sink(spark, routed, spec["quadSink"], output_dir)
 
 
+def _contains_file_sink(sink: dict[str, Any]) -> bool:
+    """True when the sink spec (transitively) writes files under the shared
+    ``output_dir`` — used to give composite children isolated subtrees."""
+    t = sink["@type"]
+    if t == "QuadSinkFile":
+        return True
+    if t == "QuadSinkFiltered":
+        return _contains_file_sink(sink["sink"])
+    if t == "QuadSinkComposite":
+        return any(_contains_file_sink(c) for c in sink["sinks"])
+    return False
+
+
 def run_sink(spark: SparkSession, routed: DataFrame, sink: dict[str, Any], output_dir: str) -> None:
     """Execute one sink spec over a routed (doc, quad) DataFrame.
 
@@ -199,8 +237,18 @@ def run_sink(spark: SparkSession, routed: DataFrame, sink: dict[str, Any], outpu
     ``QuadSinkComposite`` (fan-out — the routed frame is persisted so the
     shared upstream computes once across the N write actions, the batch
     analog of the reference's sequential ``push`` fan-out,
-    ``QuadSinkComposite.ts:14-24``)."""
+    ``QuadSinkComposite.ts:14-24``). ``QuadSinkHdt`` is recognized but
+    unsupported (external dockerized rdf2hdt post-processing,
+    ``lib/io/QuadSinkHdt.ts:61-125`` — SURVEY.md §2.2)."""
     t = sink["@type"]
+    if t == "QuadSinkHdt":
+        raise NotImplementedError(
+            "QuadSinkHdt (lib/io/QuadSinkHdt.ts:61-125) converts written "
+            "N-Quads files to HDT by shelling out to a dockerized rdf2hdt "
+            "binary — out of scope for this engine (SURVEY.md §2.2). Use "
+            "QuadSinkFile and run rdf2hdt over the written files as a "
+            "post-processing step."
+        )
     if t == "QuadSinkFile":
         with_path = map_doc_to_path(
             routed, sink["iriToPath"], file_extension=sink.get("fileExtension")
@@ -218,10 +266,24 @@ def run_sink(spark: SparkSession, routed: DataFrame, sink: dict[str, Any], outpu
         filtered = sink_filtered(routed, build_matcher(sink["matcher"]))
         run_sink(spark, filtered, sink["sink"], output_dir)
     elif t == "QuadSinkComposite":
+        # The reference's file sinks APPEND, so two children writing the
+        # same tree interleave; batch writers overwrite. When more than one
+        # child resolves to a file sink, give each its own child_<i> subtree
+        # so no child clobbers another's output (QuadSinkComposite.ts:14-24
+        # fans out to independently configured sinks).
+        import os as _os
+
+        children = sink["sinks"]
+        file_children = [i for i, c in enumerate(children) if _contains_file_sink(c)]
         routed = routed.persist()
         try:
-            for child in sink["sinks"]:
-                run_sink(spark, routed, child, output_dir)
+            for i, child in enumerate(children):
+                child_dir = (
+                    _os.path.join(output_dir, f"child_{i}")
+                    if len(file_children) > 1 and i in file_children
+                    else output_dir
+                )
+                run_sink(spark, routed, child, child_dir)
         finally:
             routed.unpersist()
     else:

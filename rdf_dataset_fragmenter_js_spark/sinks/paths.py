@@ -130,6 +130,21 @@ def write_fragment_nquads(routed_with_path: DataFrame, output_dir: str) -> DataF
 
     from rdf_dataset_fragmenter_js_spark.sources.nquads import serialize_nquads
 
+    # Executor tasks write via plain open(): correct only when executors
+    # share the driver filesystem (local[k]). On a real cluster the files
+    # would scatter across executor-local disks — fail fast there and point
+    # at the parquet scale path (write_fragments).
+    master = routed_with_path.sparkSession.conf.get("spark.master", "")
+    if master and not master.startswith("local"):
+        raise NotImplementedError(
+            f"write_fragment_nquads writes one file per fragment from "
+            f"executor tasks via the local filesystem; master={master!r} is "
+            "not local, so outputs would land on executor-local disks. Use "
+            "write_fragments (partitioned parquet via the cluster "
+            "filesystem) for non-local deployments, or run the N-Quads "
+            "layout on a shared/NFS filesystem only."
+        )
+
     lines = serialize_nquads(routed_with_path).select("path", "line")
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:

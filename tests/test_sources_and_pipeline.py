@@ -230,6 +230,104 @@ def test_strict_parse_and_unsupported_format(spark, tmp_path):
         read_nquads(spark, str(p))
 
 
+def test_pipeline_summary_strategy_config(spark, tmp_path):
+    """FragmentationStrategyDatasetSummaryVoID / ...Bloom compiled from the
+    componentsjs config shape (FragmentationStrategyDatasetSummaryVoID.ts:10-12,
+    FragmentationStrategyDatasetSummaryBloom.ts:10-38), composed with a base
+    subject strategy via FragmentationStrategyComposite — the reference's
+    SolidBench summary-config pattern."""
+    nq = tmp_path / "pods.nq"
+    nq.write_text(
+        "<http://ex.org/pods/1/a> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/vocab#T> .\n"
+        "<http://ex.org/pods/1/a> <http://ex.org/vocab#p> \"v\" .\n"
+        "<http://ex.org/pods/2/b> <http://ex.org/vocab#p> <http://ex.org/pods/1/a> .\n"
+    )
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": str(nq)},
+        "fragmentationStrategy": {
+            "@type": "FragmentationStrategyComposite",
+            "strategies": [
+                {"@type": "FragmentationStrategySubject"},
+                {
+                    "@type": "FragmentationStrategyDatasetSummaryVoID",
+                    "datasetPatterns": ["^(http://ex\\.org/pods/[0-9]+/)"],
+                },
+                {
+                    "@type": "FragmentationStrategyDatasetSummaryBloom",
+                    "datasetPatterns": ["^(http://ex\\.org/pods/[0-9]+/)"],
+                    "hashBits": 64,
+                    "hashCount": 2,
+                    "locationPatterns": ["^(http://ex\\.org/pods/[0-9]+/)"],
+                },
+            ],
+        },
+    }
+    routed = compile_pipeline(spark, spec)
+    rows = routed.collect()
+    docs = {r.doc for r in rows}
+    # base routing docs + summary docs (dataset IRIs)
+    assert "http://ex.org/pods/1/a" in docs and "http://ex.org/pods/2/b" in docs
+    assert "http://ex.org/pods/1/" in docs and "http://ex.org/pods/2/" in docs
+    void_triples = [
+        r
+        for r in rows
+        if r.p == "http://rdfs.org/ns/void#triples"
+        and r.doc == "http://ex.org/pods/1/"
+        and r.s == r.doc  # dataset-level quad, not a propertyPartition's
+    ]
+    assert [r.o for r in void_triples] == ["2"]
+    blooms = [r for r in rows if r.p == "http://semweb.mmlab.be/ns/membership#binaryRepresentation"]
+    assert blooms and all(r.o_type == "Literal" for r in blooms)
+
+
+def test_pipeline_composite_file_sinks_isolated(spark, nt_file, tmp_path):
+    """Two QuadSinkFile children in one composite must not clobber each
+    other's output: each gets its own child_<i> subtree (the reference's
+    sinks append into independently configured targets)."""
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": nt_file},
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkComposite",
+            "sinks": [
+                {
+                    "@type": "QuadSinkFile",
+                    "outputFormat": "parquet",
+                    "iriToPath": {"^http://example\\.org/": "first/"},
+                },
+                {
+                    "@type": "QuadSinkFiltered",
+                    "matcher": {"@type": "QuadMatcherPredicate", "predicateRegex": "/p$"},
+                    "sink": {
+                        "@type": "QuadSinkFile",
+                        "outputFormat": "parquet",
+                        "iriToPath": {"^http://example\\.org/": "second/"},
+                    },
+                },
+            ],
+        },
+    }
+    out = str(tmp_path / "fanout")
+    run_pipeline_spec(spark, spec, out)
+    full = spark.read.parquet(out + "/child_0")
+    filtered = spark.read.parquet(out + "/child_1")
+    assert full.count() == 5
+    assert filtered.count() == 2  # only /p$ quads survive the filter
+    assert {r.path for r in full.select("path").distinct().collect()} == {"first/a"}
+
+
+def test_quad_sink_hdt_recognized(spark, nt_file, tmp_path):
+    """Ported configs using QuadSinkHdt fail with a targeted message, not an
+    unknown-type error (lib/io/QuadSinkHdt.ts:61-125)."""
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": nt_file},
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {"@type": "QuadSinkHdt", "iriToPath": {}},
+    }
+    with pytest.raises(NotImplementedError, match="rdf2hdt"):
+        run_pipeline_spec(spark, spec, str(tmp_path / "hdt"))
+
+
 def test_pipeline_composite_filtered_csv_sinks(spark, nt_file, tmp_path):
     """QuadSinkComposite fan-out with a filtered N-Quads branch and a CSV
     branch — the remaining lib/io sink @types, end-to-end from config."""

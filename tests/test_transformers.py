@@ -108,6 +108,26 @@ def test_append_quad(spark):
     assert ("NamedNode", "ex:item", "ex:containedIn", "NamedNode", "ex:container") in got
 
 
+def test_append_quad_predicate_component_type(spark):
+    """A non-literal template referencing the predicate/graph component must
+    mint a NamedNode (the component term's own type — TermTemplateQuadComponent
+    returns the term as-is), never inherit the subject's term type."""
+    df = quads_df(
+        spark,
+        [quad("b0", "ex:p", "ex:o", s_type="BlankNode")],  # bnode subject
+    )
+    out = T.append_quad(
+        match_predicate("^ex:p$"),
+        s={"component": "predicate"},
+        p={"value": "ex:derivedFrom"},
+        o={"component": "object"},
+    )(df)
+    appended = [r for r in out.collect() if r.p == "ex:derivedFrom"]
+    assert len(appended) == 1
+    assert appended[0].s == "ex:p"
+    assert appended[0].s_type == "NamedNode"  # not the subject's BlankNode
+
+
 def test_append_quad_link_and_resource_link(spark):
     df = quads_df(spark, [quad("http://ex.org/pods/1/profile/card#me", RDF_TYPE, "ex:Person")])
     out = T.append_resource_link("Person$", "ex:postsIndex", "../posts", link_type="ldp:Container")(df)
