@@ -136,8 +136,10 @@ def ensure_trailing_slash(iri: str) -> str:
     return iri if iri.endswith("/") else iri + "/"
 
 
-def resolve_iri_col(reference: Column, base: Column) -> Column:
-    """Vectorized two-column RFC3986 resolve."""
+def resolve_iri_udf_col(reference: Column, base: Column) -> Column:
+    """Arrow-batched pandas-UDF RFC3986 resolve — the slow reference path,
+    kept for property-testing the native column implementation below
+    (``resolve_iri_col``) against the pure-Python resolver."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
@@ -152,3 +154,154 @@ def resolve_iri_col(reference: Column, base: Column) -> Column:
         )
 
     return _udf(reference, base)
+
+
+# ---------------------------------------------------------------------------
+# Native (pure-Column) RFC 3986 §5 resolution — no Python in the hot path
+# ---------------------------------------------------------------------------
+#
+# The resolver runs on every quad in several operators (subject
+# fragmentation with relativePath, AppendQuadLink, RemapResourceIdentifier's
+# minting). A per-row Python loop there is the classic 100 TB scale-killer,
+# so the whole §5.2.2 transform — scheme/authority/path/query/fragment
+# splitting, path merge, and §5.2.4 remove_dot_segments — is expressed as
+# Column expressions (whole-stage codegen; the dot-segment removal is an
+# ``F.aggregate`` fold over the '/'-split path). Parity with the Python
+# resolver is property-tested (tests/test_properties.py) and pinned on the
+# RFC 3986 §5.4 normal + abnormal reference examples.
+
+_SCHEME_COL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*:)"
+
+
+def _strip_from(col: Column, chars: str) -> Column:
+    """Everything before the first occurrence of any char in ``chars``."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, f"(?s)[{chars}].*$", "")
+
+
+def _extract_from(col: Column, chars: str) -> Column:
+    """The suffix starting at the first occurrence of any char in ``chars``
+    ('' when absent) — preserves presence-with-empty-value distinctions
+    (``?`` vs no query) that matter to §5.2.2."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_extract(col, f"(?s)([{chars}].*)$", 1)
+
+
+def remove_dot_segments_col(path: Column) -> Column:
+    """§5.2.4 remove_dot_segments as a native fold over path segments.
+
+    Segments are processed left→right with an output stack: ``.`` is
+    dropped, non-dot segments (including '' from '//') are pushed, and
+    ``..`` pops with the reference algorithm's exact edge behavior —
+    leading ``..`` on a relative path is dropped, but a pop that *empties*
+    the output leaves the buffer's slash behind, absolutizing the rest
+    (``a/../b`` → ``/b``). In stack terms: pop at size≥2; at size 1 replace
+    the element with the '' root marker (no-op if it already is); at size 0
+    no-op. A trailing ``.``/``..`` leaves a trailing slash. Parity with
+    :func:`remove_dot_segments` is property-tested."""
+    from pyspark.sql import functions as F
+
+    segs = F.split(path, "/")
+    stack = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(x == ".", acc)
+        .when(
+            x == "..",
+            F.when(F.size(acc) <= 0, acc)
+            .when((F.size(acc) == 1) & (F.element_at(acc, 1) == ""), acc)
+            .when(F.size(acc) == 1, F.array(F.lit("")))
+            .otherwise(F.slice(acc, 1, F.size(acc) - 1)),
+        )
+        .otherwise(F.concat(acc, F.array(x))),
+    )
+    joined = F.array_join(stack, "/")
+    trailing_special = F.element_at(segs, -1).isin(".", "..") & (F.size(stack) > 0)
+    return F.when(trailing_special, F.concat(joined, F.lit("/"))).otherwise(joined)
+
+
+def resolve_iri_col(reference: Column, base: Column) -> Column:
+    """§5.2.2 transform-references (strict), all-native Columns.
+
+    Decomposition is string-positional (first ``#`` ends the query, first
+    ``?`` before it ends the path, leading ``scheme:`` / ``//authority``
+    prefixes) — identical to ``_split`` above. The five RFC branches become
+    one ``when`` chain; only the branches that merge paths pay the
+    dot-segment fold."""
+    from pyspark.sql import functions as F
+
+    ref = reference
+    # --- decompose the reference ------------------------------------------
+    r_frag = _extract_from(ref, "#")  # '#...' or ''
+    r_no_f = _strip_from(ref, "#")
+    r_query = _extract_from(r_no_f, "?")  # '?...' or ''
+    r_qf = F.concat(r_query, r_frag)  # query+fragment suffix verbatim
+    r_sap = _strip_from(r_no_f, "?")  # scheme+authority+path
+    r_scheme = F.regexp_extract(r_sap, _SCHEME_COL_RE, 1)  # 'x:' or ''
+    r_rest = r_sap.substr(F.length(r_scheme) + 1, F.length(r_sap))
+    r_auth = F.regexp_extract(r_rest, r"^(//[^/]*)", 1)  # '//auth' or ''
+    r_path = r_rest.substr(F.length(r_auth) + 1, F.length(r_rest))
+
+    # --- decompose the base ----------------------------------------------
+    b_no_f = _strip_from(base, "#")
+    b_query = _extract_from(b_no_f, "?")
+    b_sap = _strip_from(b_no_f, "?")
+    b_scheme = F.regexp_extract(b_sap, _SCHEME_COL_RE, 1)
+    b_rest = b_sap.substr(F.length(b_scheme) + 1, F.length(b_sap))
+    b_auth = F.regexp_extract(b_rest, r"^(//[^/]*)", 1)
+    b_path = b_rest.substr(F.length(b_auth) + 1, F.length(b_rest))
+
+    # merge(base, ref): base-with-authority-and-empty-path → '/' + ref path,
+    # else base path up to its last '/' (or '' when none) + ref path
+    b_dir = F.when(
+        (b_auth != "") & (b_path == ""), F.lit("/")
+    ).otherwise(F.regexp_replace(b_path, r"[^/]*$", ""))
+
+    return (
+        F.when(
+            r_scheme != "",  # ref is absolute: strict mode keeps it whole
+            F.concat(r_scheme, r_auth, remove_dot_segments_col(r_path), r_qf),
+        )
+        .when(
+            r_auth != "",  # network-path reference: keep base scheme only
+            F.concat(b_scheme, r_auth, remove_dot_segments_col(r_path), r_qf),
+        )
+        .when(
+            r_path == "",  # empty path: keep base path; query only if present
+            F.concat(
+                b_scheme,
+                b_auth,
+                b_path,
+                F.when(r_query != "", r_query).otherwise(b_query),
+                r_frag,
+            ),
+        )
+        .when(
+            r_path.startswith("/"),  # absolute-path reference
+            F.concat(b_scheme, b_auth, remove_dot_segments_col(r_path), r_qf),
+        )
+        .otherwise(  # relative-path reference: merge + dot-segment removal
+            F.concat(
+                b_scheme,
+                b_auth,
+                remove_dot_segments_col(F.concat(b_dir, r_path)),
+                r_qf,
+            )
+        )
+    )
+
+
+def resolve_literal_col(reference: str, base: Column) -> Column:
+    """Resolve a plan-time-literal reference against a base Column.
+
+    Absolute references collapse to a constant at compile time; everything
+    else goes through the native column resolver (Catalyst constant-folds
+    the reference-side decomposition)."""
+    from pyspark.sql import functions as F
+
+    if _SCHEME_RE.match(reference):
+        # base-independent: §5.2.2 with defined scheme ignores the base
+        return F.lit(resolve_iri(reference, "http://resolve.invalid/"))
+    return resolve_iri_col(F.lit(reference), base)
