@@ -49,9 +49,15 @@ def imurmurhash(text: str) -> int:
 
     Faithful to the ``imurmurhash`` npm package's byte-packing, which XORs
     code units into little-endian 4-byte blocks (for ASCII this equals
-    standard MurmurHash3 over the ASCII bytes).
+    standard MurmurHash3 over the ASCII bytes). Input is hashed as UTF-16
+    code units (JS ``charCodeAt``) — astral codepoints contribute their two
+    surrogates, exactly like a JS string.
     """
-    codes = [ord(c) for c in text]
+    import array as _array
+
+    units = _array.array("H")  # native-endian uint16; x86/arm64 are LE
+    units.frombytes(text.encode("utf-16-le"))
+    codes = units.tolist()
     n = len(codes)
     h1 = 0
     nblocks = n >> 2
@@ -155,12 +161,98 @@ def bloem_has(bitfield: bytes, value: bytes, size_bits: int, slices: int) -> boo
 
 
 # ---------------------------------------------------------------------------
-# Vectorized pandas UDFs (Arrow-batched; no per-row JVM<->Python crossings)
+# Vectorized pandas UDFs (Arrow-batched; no per-row Python in the hot path)
 # ---------------------------------------------------------------------------
+#
+# The murmur rounds are numpy-vectorized across the whole Arrow batch: all
+# strings are UTF-16-encoded in ONE C call, viewed as a uint16 code-unit
+# matrix, and the 4-unit block mixing loops over *rounds* (max_len/4 numpy
+# passes over the batch), not rows. Work is also deduplicated per batch
+# (pd.factorize) — QuadMatcherTermValue hashes the same extracted group for
+# every quad of a resource, so hashing distinct values only cuts the Python
+# work by the duplication factor without any extra shuffle.
+
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def imurmurhash_batch(strs: list[str]) -> np.ndarray:
+    """Vectorized :func:`imurmurhash` over a batch → uint32 ndarray.
+
+    Identical output to the scalar path (property-tested); arithmetic runs
+    in masked uint64 so 32-bit wraparound is explicit and numpy-version
+    independent."""
+    n_strs = len(strs)
+    if n_strs == 0:
+        return np.empty(0, dtype=np.uint32)
+    big = "".join(strs)
+    codes = np.frombuffer(big.encode("utf-16-le"), dtype="<u2").astype(np.uint64)
+    if len(codes) == sum(map(len, strs)):
+        # no astral codepoints: UTF-16 unit count == codepoint count
+        lens = np.fromiter(map(len, strs), dtype=np.int64, count=n_strs)
+    else:
+        lens = np.fromiter(
+            (len(s.encode("utf-16-le")) >> 1 for s in strs), dtype=np.int64, count=n_strs
+        )
+    starts = np.zeros(n_strs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+
+    h1 = np.zeros(n_strs, dtype=np.uint64)
+    nblocks = lens >> 2
+    maxb = int(nblocks.max()) if n_strs else 0
+    for i in range(maxb):
+        active = np.nonzero(nblocks > i)[0]
+        idx = starts[active] + 4 * i
+        c0, c1, c2, c3 = codes[idx], codes[idx + 1], codes[idx + 2], codes[idx + 3]
+        k1 = (c0 ^ (c1 << 8) ^ (c2 << 16) ^ ((c3 & 0xFF) << 24) ^ ((c3 & 0xFF00) >> 8)) & _M32
+        k1 = (k1 * 0xCC9E2D51) & _M32
+        k1 = ((k1 << 15) | (k1 >> 17)) & _M32
+        k1 = (k1 * 0x1B873593) & _M32
+        h = h1[active] ^ k1
+        h = ((h << 13) | (h >> 19)) & _M32
+        h1[active] = (h * 5 + 0xE6546B64) & _M32
+
+    # tail (rem 1-3 code units)
+    rem = lens & 3
+    base = starts + 4 * nblocks
+    k1 = np.zeros(n_strs, dtype=np.uint64)
+    m3, m2, m1 = rem == 3, rem >= 2, rem >= 1
+    if m3.any():
+        k1[m3] ^= codes[base[m3] + 2] << 16
+    if m2.any():
+        k1[m2] ^= codes[base[m2] + 1] << 8
+    if m1.any():
+        k1[m1] ^= codes[base[m1]]
+    k1 &= _M32
+    pos = k1 > 0
+    if pos.any():
+        kp = (k1[pos] * 0xCC9E2D51) & _M32
+        kp = ((kp << 15) | (kp >> 17)) & _M32
+        kp = (kp * 0x1B873593) & _M32
+        h1[pos] ^= kp
+
+    h1 ^= lens.astype(np.uint64)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return (h1 & _M32).astype(np.uint32)
+
+
+def _batch_unique_hashes(s: pd.Series):
+    """(row→unique index, uint32 hash per unique, NA mask) for one batch."""
+    mask_na = s.isna().to_numpy()
+    vals = s.to_numpy(dtype=object)
+    vals = np.where(mask_na, "", vals)  # placeholder; masked out below
+    idx, uniques = pd.factorize(vals, sort=False)
+    hashes = imurmurhash_batch(list(uniques))
+    return idx, hashes, mask_na
 
 
 def _imurmur_series(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: imurmurhash(v) if v is not None else None).astype("Int64")
+    idx, hashes, mask_na = _batch_unique_hashes(s)
+    out = hashes.astype(np.int64)[idx]
+    return pd.Series(pd.arrays.IntegerArray(out, mask_na))
 
 
 def murmur_udf() -> Column:
@@ -186,10 +278,10 @@ def murmur_prob_col(col: Column) -> Column:
 
     @pandas_udf(DoubleType())
     def _udf(s: pd.Series) -> pd.Series:
-        out = s.map(
-            lambda v: imurmurhash(v) / MURMURHASH3_MAX_VALUE if v is not None else None
-        )
-        return out.astype(np.float64)
+        idx, hashes, mask_na = _batch_unique_hashes(s)
+        out = (hashes.astype(np.float64) / MURMURHASH3_MAX_VALUE)[idx]
+        out[mask_na] = np.nan
+        return pd.Series(out)
 
     return _udf(col)
 
@@ -200,7 +292,11 @@ def murmur_hex_col(col: Column) -> Column:
 
     @pandas_udf(StringType())
     def _udf(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: imurmurhash_hex(v) if v is not None else None)
+        idx, hashes, mask_na = _batch_unique_hashes(s)
+        hexes = np.array([format(h, "x") for h in hashes], dtype=object)
+        out = hexes[idx] if len(hexes) else np.empty(len(s), dtype=object)
+        out = np.where(mask_na, None, out)
+        return pd.Series(out, dtype=object)
 
     return _udf(col)
 

@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-from rdf_dataset_fragmenter_js_spark.functions.hashing import imurmurhash_hex
 from rdf_dataset_fragmenter_js_spark.quads import (
     BLANK_NODE,
     LITERAL,
@@ -112,17 +111,12 @@ def assign_datasets(quads: DataFrame, dataset_patterns: list[str]) -> DataFrame:
 # VoID (DatasetSummaryVoID.ts)
 # ---------------------------------------------------------------------------
 
-_murmur_hex_udf = None
-
-
 def _murmur_hex(col):
-    from pyspark.sql.functions import pandas_udf
+    """Vectorized + batch-deduplicated murmur hex (functions/hashing.py) —
+    the fragment-IRI hash (DatasetSummaryVoID.ts:180-182)."""
+    from rdf_dataset_fragmenter_js_spark.functions.hashing import murmur_hex_col
 
-    @pandas_udf(StringType())
-    def _udf(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: imurmurhash_hex(v) if v is not None else None)
-
-    return _udf(col)
+    return murmur_hex_col(col)
 
 
 def _term_str(type_col, value_col, dt_col=None, lang_col=None):

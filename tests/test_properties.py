@@ -284,3 +284,47 @@ def test_resolve_iri_native_matches_python(spark):
     for row in got:
         want = resolve_iri(row.ref, row.base)
         assert row.native == want, (row.ref, row.base, row.native, want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    strs=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-16", categories=("L", "N", "P", "S", "Z", "C")
+            ),
+            max_size=40,
+        ),
+        max_size=30,
+    )
+)
+def test_imurmurhash_batch_matches_scalar(strs):
+    """The numpy-vectorized murmur (rounds loop over the batch, not rows)
+    must equal the scalar JS-faithful implementation — including astral
+    codepoints, which contribute two UTF-16 surrogates like a JS string."""
+    import numpy as np
+
+    from rdf_dataset_fragmenter_js_spark.functions.hashing import (
+        imurmurhash,
+        imurmurhash_batch,
+    )
+
+    got = imurmurhash_batch(strs)
+    want = np.array([imurmurhash(s) for s in strs], dtype=np.uint32)
+    assert (got == want).all()
+
+
+def test_imurmurhash_astral_uses_surrogate_pairs():
+    """JS strings are UTF-16: an astral char hashes as its two surrogates,
+    not as one codepoint (charCodeAt semantics of npm imurmurhash)."""
+    import numpy as np
+
+    from rdf_dataset_fragmenter_js_spark.functions.hashing import (
+        imurmurhash,
+        imurmurhash_batch,
+    )
+
+    s = "a\U0001F600b"  # 4 UTF-16 code units: 'a', D83D, DE00, 'b'
+    assert imurmurhash(s) == int(imurmurhash_batch([s])[0])
+    # differs from hashing the raw codepoint sequence (pre-fix behavior)
+    assert imurmurhash(s) != imurmurhash("ab")
