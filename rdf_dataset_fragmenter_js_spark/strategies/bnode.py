@@ -43,9 +43,13 @@ def _is(df_col: Column, term_type: str) -> Column:
     return df_col == term_type
 
 
-def _closure_driver(b_rows, e_rows) -> list[tuple[str, str]]:
-    """Driver-side ownership closure (owners propagate along src→dst edges
-    to a fixpoint) — identical semantics to the distributed loop."""
+def _closure_driver(
+    b_rows, e_rows, max_iterations: int = MAX_ITERATIONS
+) -> list[tuple[str, str]]:
+    """Driver-side ownership closure (owners propagate along src→dst edges)
+    — identical semantics to the distributed loop, including the same
+    propagation-depth cap (one edge-hop per 'iteration') and warning, so a
+    >max_iterations-deep chain behaves identically on both paths."""
     from collections import defaultdict, deque
 
     own: dict[str, set] = defaultdict(set)
@@ -54,14 +58,20 @@ def _closure_driver(b_rows, e_rows) -> list[tuple[str, str]]:
     adj: dict[str, list] = defaultdict(list)
     for s, d in e_rows:
         adj[s].append(d)
-    queue = deque(own.keys())
+    queue = deque((b, 0) for b in list(own.keys()))
+    capped = False
     while queue:
-        b = queue.popleft()
+        b, depth = queue.popleft()
+        if depth >= max_iterations:
+            capped = True
+            continue
         for d in adj.get(b, ()):
             new = own[b] - own[d]
             if new:
                 own[d] |= new
-                queue.append(d)
+                queue.append((d, depth + 1))
+    if capped:
+        logger.warning("bnode ownership did not converge in %d iterations", max_iterations)
     return [(b, o) for b, owners in own.items() for o in owners]
 
 
@@ -87,31 +97,40 @@ def bnode_owners(
     runs (the 100 TB path: only the link table iterates, never the quads).
     """
     # Base: named key → bnode value  (FragmentationBlankNodeBuffer.ts:53-64)
+    # Both link tables are checkpointed once up front: the quad scan runs
+    # exactly once per table, the threshold probe and the driver transfer
+    # read the materialized rows, and the distributed loop re-joins `edges`
+    # every iteration without re-deriving it from the quads.
     base = (
         quads.filter(_is(F.col(key_type), NAMED_NODE) & _is(F.col(value_type), BLANK_NODE))
         .select(F.col(value).alias("bnode"), F.col(key).alias("owner"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # Edges among buffered quads: bnode key → bnode value (chain links, :83)
     edges = (
         quads.filter(_is(F.col(key_type), BLANK_NODE) & _is(F.col(value_type), BLANK_NODE))
         .select(F.col(key).alias("src"), F.col(value).alias("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     if driver_threshold:
-        # Arrow-batched transfer both ways: toPandas and a pandas-backed
-        # createDataFrame move columnar batches, not 300k py4j Row objects
-        # (the Row path costs seconds at fixture scale).
-        b_pdf = base.limit(driver_threshold + 1).toPandas()
-        if len(b_pdf) <= driver_threshold:
-            e_pdf = edges.limit(driver_threshold + 1).toPandas()
-            if len(e_pdf) <= driver_threshold:
+        # Cheap count probes first — an over-threshold table costs one
+        # count job against the checkpoint, never a multi-hundred-MB driver
+        # transfer. Under threshold: Arrow-batched toPandas both ways (and
+        # a pandas-backed createDataFrame back) — columnar batches, not
+        # py4j Row objects.
+        if base.limit(driver_threshold + 1).count() <= driver_threshold:
+            if edges.limit(driver_threshold + 1).count() <= driver_threshold:
                 import pandas as pd
 
+                b_pdf = base.toPandas()
+                e_pdf = edges.toPandas()
                 pairs = _closure_driver(
                     list(zip(b_pdf["bnode"], b_pdf["owner"])),
                     list(zip(e_pdf["src"], e_pdf["dst"])),
+                    max_iterations=max_iterations,
                 )
                 spark = quads.sparkSession
                 if not pairs:
@@ -119,7 +138,7 @@ def bnode_owners(
                 out = pd.DataFrame(pairs, columns=["bnode", "owner"])
                 return spark.createDataFrame(out)
 
-    owners = base.localCheckpoint(eager=True)
+    owners = base
     frontier = owners
     for _ in range(max_iterations):
         grown = (

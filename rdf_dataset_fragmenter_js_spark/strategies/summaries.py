@@ -81,10 +81,13 @@ def assign_datasets(quads: DataFrame, dataset_patterns: list[str]) -> DataFrame:
         .select(F.col("o").alias("bnode"), F.col("dataset"))
         .distinct()
     )
+    # checkpointed once: the loop re-joins edges every iteration and must
+    # not re-derive the link table from the quad scan each time
     edges = (
         bnode_quads.filter(F.col("o_type") == BLANK_NODE)
         .select(F.col("s").alias("src"), F.col("o").alias("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     owners = base.localCheckpoint(eager=True)
     frontier = owners

@@ -122,7 +122,7 @@ def lsh_candidate_pairs(
     banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -132,6 +132,14 @@ def lsh_candidate_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # Materialize the (candidate-pair-sized, << corpus) result so the cached
+    # signatures can be released immediately — repeated calls must not leak
+    # session-lifetime cache. This is the "write candidate pairs between
+    # phases" step of the scaled pipeline; downstream verify/cluster stages
+    # re-read the materialized pairs, not the shingle pipeline.
+    pairs = pairs.localCheckpoint(eager=True)
+    banded.unpersist()
+    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -161,7 +169,7 @@ def ngram_jaccard_pairs(
     # jaccard scaled to basis points via pure integer arithmetic — exact and
     # identical across engines (decimal round() is not: Spark rounds the
     # shortest decimal string HALF_UP, DuckDB rounds the binary double).
-    return (
+    out = (
         inter.join(na, on="doc_a")
         .join(nb, on="doc_b")
         .select(
@@ -174,6 +182,11 @@ def ngram_jaccard_pairs(
             .alias("jaccard_bp"),
         )
     )
+    # materialize the (pair-sized) scores, then release the shingle cache —
+    # no session-lifetime persist leak across repeated calls
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def simhash16(
@@ -221,9 +234,14 @@ def near_dup_clusters(pairs: DataFrame, driver_threshold: int = 1_000_000) -> Da
       iteration (the scalable path — converges in O(diameter) rounds; dedup
       clusters are shallow).
     """
+    # cheap row-count probe first (no data transfer when over threshold);
+    # under it, ONE Arrow toPandas transfer feeds the union-find. Callers
+    # passing an expensive un-materialized plan should persist/checkpoint it
+    # (lsh_candidate_pairs already returns a checkpointed frame).
     n_pairs = pairs.limit(driver_threshold + 1).count()
     if n_pairs <= driver_threshold:
-        rows = pairs.collect()
+        pdf = pairs.toPandas()
+        rows = list(pdf.itertuples(index=False, name=None))
         parent: dict = {}
 
         def find(x):
