@@ -507,9 +507,22 @@ def q_sim_cosine_topk(spark, sf_dir):
 
 
 def q_sim_cosine_topk_lsh(spark, sf_dir):
+    """ANN top-k via seeded random-hyperplane LSH: 4 independent hash
+    tables of 6 Rademacher ±1 planes over the first 16 components, each
+    probed at Hamming distance ≤ 1. The planes are exactly reproducible in
+    SQL (±1-weighted left-associated sums), so this has a full DuckDB
+    oracle."""
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    out = S.cosine_topk_lsh(emb, queries, k=5, bits=8, probe_hamming=1)
+    out = S.cosine_topk_lsh(
+        emb,
+        queries,
+        k=5,
+        bits=_LSH_BITS,
+        probe_hamming=1,
+        tables=_LSH_TABLES,
+        proj_dim=_LSH_PROJ_DIM,
+    )
     return out.select(
         "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
     )
@@ -661,6 +674,70 @@ _COSINE = (
 _BUCKET8 = " || ".join(
     f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
 )
+
+
+def _hyperplane_bucket_sql(vec_expr: str, bits: int, proj_dim: int, seed: int) -> str:
+    """The exact SQL twin of similarity.hyperplane_bucket_col: per plane a
+    left-associated ±1-weighted sum starting at 0.0 (identical IEEE op
+    sequence to Spark's aggregate fold), sign → '1'/'0', concatenated."""
+    from rdf_dataset_fragmenter_js_spark.textops.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(bits, proj_dim, seed=seed)
+    bit_exprs = []
+    for plane in planes:
+        acc = "0.0"
+        for i, w in enumerate(plane):
+            acc = f"({acc} + ({vec_expr}[{i + 1}] * {w:.1f}))"
+        bit_exprs.append(f"CASE WHEN {acc} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bit_exprs)
+
+
+#: gate parameters for the ANN entry — mirrored between Spark and oracle
+_LSH_BITS, _LSH_TABLES, _LSH_PROJ_DIM = 6, 4, 16
+
+
+def _topk_lsh_oracle(bits: int = _LSH_BITS, tables: int = _LSH_TABLES) -> str:
+    buckets = ", ".join(
+        _hyperplane_bucket_sql("vec", bits, _LSH_PROJ_DIM, seed=1000 * t)
+        for t in range(tables)
+    )
+    ts = ", ".join(str(t) for t in range(tables))
+    flips = []
+    for i in range(bits):
+        flip = (
+            f"substring(qbucket, 1, {i}) || "
+            f"(CASE WHEN substring(qbucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END) || "
+            f"substring(qbucket, {i + 2}, {bits - i - 1})"
+        )
+        flips.append(flip)
+    probe_list = ", ".join(["qbucket"] + flips)
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        b AS (
+          SELECT vec_id, vec, t, bucket FROM (
+            SELECT vec_id, vec, unnest([{ts}]) AS t, unnest([{buckets}]) AS bucket FROM v
+          )
+        ),
+        q AS (SELECT vec_id AS query_id, vec AS qvec, t, bucket AS qbucket FROM b WHERE vec_id < 10),
+        probes AS (
+          SELECT DISTINCT query_id, qvec, t, bucket FROM (
+            SELECT query_id, qvec, t, unnest([{probe_list}]) AS bucket FROM q
+          )
+        ),
+        scored AS (
+          SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+                 floor(1000 * list_dot_product(p.qvec, c.vec) /
+                       (sqrt(list_dot_product(p.qvec, p.qvec)) * sqrt(list_dot_product(c.vec, c.vec)))) / 1000 AS score
+          FROM probes p JOIN b c ON p.t = c.t AND p.bucket = c.bucket AND p.query_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rank
+        FROM ranked WHERE rn <= 5
+    """
 
 
 def _entity_link_oracle() -> str:
@@ -1120,6 +1197,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rank
             FROM ranked WHERE rn <= 5
         """,
+        "sim_cosine_topk_lsh": _topk_lsh_oracle(),
         "sim_embedding_near_dups": f"""
             WITH v AS (
               SELECT vec_id, embedding::DOUBLE[] AS vec, {_BUCKET8} AS bucket

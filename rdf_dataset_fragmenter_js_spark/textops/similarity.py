@@ -97,46 +97,114 @@ def sign_bucket_col(vec: Column, bits: int = 8) -> Column:
     )
 
 
+def random_hyperplanes(bits: int, proj_dim: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic Rademacher (±1) random hyperplanes, seeded via md5 —
+    genuine random projections (unlike raw component signs, whose recall
+    collapses when individual dimensions are uninformative), yet exactly
+    reproducible by any engine: entry (j, i) is the parity of
+    md5('{seed}:{j}:{i}'). ±1 entries keep the projection a sequence of
+    exact IEEE add/subtract steps, so Spark's aggregate fold and an SQL
+    left-associated sum produce bit-identical signs."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+            for i in range(proj_dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def hyperplane_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket key: sign pattern of ``vec`` projected on each hyperplane
+    ('1' when the ±1-weighted sum of the first len(plane) components is
+    ≥ 0). Pure Column fold — JVM-side, no UDF."""
+    bits = []
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(w) for w in plane])
+        dot = F.aggregate(
+            F.zip_with(F.slice(vec, 1, len(plane)), lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _hamming_probes(bucket: Column, bits: int, probe_hamming: int) -> list[Column]:
+    """The bucket plus (when probe_hamming ≥ 1) its ``bits`` Hamming-1
+    flips, as string Columns."""
+    probes = [bucket]
+    if probe_hamming >= 1:
+        for i in range(bits):
+            probes.append(
+                F.concat(
+                    F.substring(bucket, 1, i),
+                    F.when(F.substring(bucket, i + 1, 1) == "1", F.lit("0")).otherwise(
+                        F.lit("1")
+                    ),
+                    F.substring(bucket, i + 2, bits - i - 1),
+                )
+            )
+    return probes
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     bits: int = 8,
     probe_hamming: int = 1,
+    tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 3,
+    proj_dim: int | None = None,
+    seed: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to vectors whose sign-bucket
-    is within Hamming distance ``probe_hamming`` of the query's bucket
-    (multi-probe). Same output schema as the brute-force path."""
+    """Approximate top-k: candidates restricted to vectors sharing an LSH
+    bucket with the query in ANY of ``tables`` independent hash tables
+    (classic L-table LSH — recall grows with L at linear candidate cost),
+    each probed at its own bucket plus Hamming-``probe_hamming`` neighbors.
+    Buckets are seeded random-hyperplane projections over the first
+    ``proj_dim`` components (default 2×bits, per-table seeds) — see
+    :func:`random_hyperplanes`. Every join is keyed on (table, bucket):
+    the shuffle is bucket-local, never all-pairs. Same output schema as the
+    brute-force path."""
+    all_planes = [
+        random_hyperplanes(bits, proj_dim or 2 * bits, seed=seed + 1000 * t)
+        for t in range(tables)
+    ]
+    c_structs = [
+        F.struct(
+            F.lit(t).alias("t"),
+            hyperplane_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        )
+        for t, planes in enumerate(all_planes)
+    ]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        sign_bucket_col(F.col(vec_col), bits).alias("bucket"),
+        F.explode(F.array(*c_structs)).alias("tb"),
+    ).select("neighbor_id", "cvec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+    probe_structs = []
+    for t, planes in enumerate(all_planes):
+        qbucket = hyperplane_bucket_col(F.col(vec_col), planes)
+        for probe in _hamming_probes(qbucket, bits, probe_hamming):
+            probe_structs.append(F.struct(F.lit(t).alias("t"), probe.alias("bucket")))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(F.array(*probe_structs)).alias("tb"),
+        )
+        .select("query_id", "qvec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        .distinct()
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        sign_bucket_col(F.col(vec_col), bits).alias("qbucket"),
-    )
-    # multi-probe: explode the query into its own bucket + Hamming-1 buckets
-    probes = [F.col("qbucket")]
-    if probe_hamming >= 1:
-        for i in range(bits):
-            flipped = F.concat(
-                F.substring(F.col("qbucket"), 1, i),
-                F.when(F.substring(F.col("qbucket"), i + 1, 1) == "1", F.lit("0")).otherwise(
-                    F.lit("1")
-                ),
-                F.substring(F.col("qbucket"), i + 2, bits - i - 1),
-            )
-            probes.append(flipped)
-    q = q.select(
-        "query_id", "qvec", F.explode(F.array(*probes)).alias("bucket")
-    ).distinct()
     scored = (
-        q.join(c, on="bucket")
+        q.join(c, on=["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
