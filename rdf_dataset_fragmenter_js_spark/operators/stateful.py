@@ -235,6 +235,30 @@ def codepoint_sum_col(col: Column) -> Column:
     )
 
 
+def composite_varying_mapping(
+    quads: DataFrame,
+    type_regex: str,
+    target_predicate_regex: str,
+    transformers: Sequence[RemapResourceIdentifier],
+) -> DataFrame | None:
+    """The union of the per-branch mapping tables of
+    ``QuadTransformerCompositeVaryingResource`` — exposed separately so the
+    transform-callback lineage CSV (TransformCallbackMap) can reuse it."""
+    n = len(transformers)
+    res = resource_table(quads, type_regex, target_predicate_regex)
+    res = res.withColumn("branch", F.pmod(codepoint_sum_col(F.col("target")), F.lit(n)))
+
+    mapping = None
+    for i, child in enumerate(transformers):
+        branch_subjects = res.filter(F.col("branch") == i).select("res")
+        branch_quads = quads.join(
+            branch_subjects, quads["s"] == branch_subjects["res"], "left_semi"
+        )
+        m = child.mapping_table(branch_quads)
+        mapping = m if mapping is None else mapping.unionByName(m)
+    return mapping
+
+
 def composite_varying_resource(
     quads: DataFrame,
     type_regex: str,
@@ -250,18 +274,9 @@ def composite_varying_resource(
     Batch form: each child computes its mapping table over only the
     resources hashed to it; the union of mapping tables is applied globally
     (equivalent to the reference's fixpoint re-mapping loop, :73-100)."""
-    n = len(transformers)
-    res = resource_table(quads, type_regex, target_predicate_regex)
-    res = res.withColumn("branch", F.pmod(codepoint_sum_col(F.col("target")), F.lit(n)))
-
-    mapping = None
-    for i, child in enumerate(transformers):
-        branch_subjects = res.filter(F.col("branch") == i).select("res")
-        branch_quads = quads.join(
-            branch_subjects, quads["s"] == branch_subjects["res"], "left_semi"
-        )
-        m = child.mapping_table(branch_quads)
-        mapping = m if mapping is None else mapping.unionByName(m)
+    mapping = composite_varying_mapping(
+        quads, type_regex, target_predicate_regex, transformers
+    )
     if mapping is None:
         return quads
     return apply_mapping(quads, mapping)

@@ -194,24 +194,155 @@ def build_source(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
     raise ValueError(f"Unknown source @type {t} (lib/io/)")
 
 
-def compile_pipeline(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
-    """Spec → routed (doc, quad) DataFrame — one lazy plan, no actions."""
+def _apply_transformer(
+    tr_spec: dict[str, Any], df: DataFrame, lineage_sink: list[DataFrame] | None
+) -> DataFrame:
+    """Apply one transformer spec; when ``lineage_sink`` is given, record the
+    (original IRI → minted IRI) mapping tables of the remap-family
+    transformers as they see their actual input — the batch form of the
+    reference's per-quad transform-callback lineage
+    (``lib/transformCallback/TransformCallbackMap.ts:33-43``)."""
+    t = tr_spec["@type"]
+    if lineage_sink is not None:
+        if t == "QuadTransformerCompositeSequential":
+            for s in tr_spec["transformers"]:
+                df = _apply_transformer(s, df, lineage_sink)
+            return df
+        if t == "QuadTransformerRemapResourceIdentifier":
+            remap = build_transformer(tr_spec)
+            lineage_sink.append(remap.mapping_table(df))
+            return remap(df)
+        if t == "QuadTransformerCompositeVaryingResource":
+            children = [build_transformer(s) for s in tr_spec["transformers"]]
+            m = ST.composite_varying_mapping(
+                df, tr_spec["typeRegex"], tr_spec["targetPredicateRegex"], children
+            )
+            if m is None:
+                return df
+            lineage_sink.append(m)
+            return ST.apply_mapping(df, m)
+    return build_transformer(tr_spec)(df)
+
+
+def compile_transformed(
+    spark: SparkSession, spec: dict[str, Any], lineage_sink: list[DataFrame] | None = None
+) -> DataFrame:
+    """Source → transformer chain (no strategy/sink) as one lazy plan."""
     df = build_source(spark, spec["quadSource"])
     for tr in spec.get("transformers", []):
-        transformer = build_transformer(tr)
-        df = transformer(df)
+        df = _apply_transformer(tr, df, lineage_sink)
+    return df
+
+
+def compile_pipeline(
+    spark: SparkSession, spec: dict[str, Any], lineage_sink: list[DataFrame] | None = None
+) -> DataFrame:
+    """Spec → routed (doc, quad) DataFrame — one lazy plan, no actions."""
+    transformed = compile_transformed(spark, spec, lineage_sink)
     strategy = build_strategy(spec["fragmentationStrategy"])
-    return strategy(df)
+    return strategy(transformed)
 
 
 def run_pipeline_spec(spark: SparkSession, spec: dict[str, Any] | str, output_dir: str) -> None:
     """Compile and execute a pipeline spec end-to-end, including the sink
-    (iriToPath mapping + partitioned write)."""
+    (iriToPath mapping + partitioned write) and any ``transformCallback``
+    lineage CSVs (``Fragmenter.ts:18,31``)."""
     if isinstance(spec, str):
         with open(spec) as f:
             spec = json.load(f)
-    routed = compile_pipeline(spark, spec)
-    run_sink(spark, routed, spec["quadSink"], output_dir)
+    callbacks = spec.get("transformCallback") or []
+    lineage: list[DataFrame] | None = [] if callbacks else None
+    transformed = compile_transformed(spark, spec, lineage_sink=lineage)
+    if callbacks:
+        # consumed by the sink AND each callback — compute the chain once
+        transformed = transformed.persist()
+    try:
+        strategy = build_strategy(spec["fragmentationStrategy"])
+        run_sink(spark, strategy(transformed), spec["quadSink"], output_dir)
+        for cb in callbacks:
+            run_transform_callback(spark, cb, lineage or [], transformed)
+    finally:
+        if callbacks:
+            transformed.unpersist()
+
+
+def run_transform_callback(
+    spark: SparkSession,
+    cb: dict[str, Any],
+    lineage_tables: list[DataFrame],
+    transformed: DataFrame,
+) -> None:
+    """``TransformCallbackMap`` (``lib/transformCallback/
+    TransformCallbackMap.ts:33-43``): write original→transformed field-value
+    pairs to CSV for transformed quads matching any configured matcher.
+
+    Batch semantics: the pairs come from the remap-family mapping tables
+    (exact value lineage for identifier rewrites — the reference's
+    documented original→pod-IRI workflow, ``README.md`` "Map Transform
+    Callback"); a pair is written when some transformed quad carries the
+    mapped value in ``fieldToMap`` and matches a matcher. Rows are distinct
+    (original, mapped) pairs — the reference emits one row per matching
+    quad with all matches comma-joined; for identifier remaps both forms
+    carry the same single mapped value."""
+    from rdf_dataset_fragmenter_js_spark.operators.matchers import TERM_COLUMNS
+
+    t = cb["@type"]
+    if t != "TransformCallbackMap":
+        raise ValueError(f"Unknown transformCallback @type {t} (lib/transformCallback/)")
+    field = cb["fieldToMap"]
+    if field not in ("subject", "object"):
+        raise NotImplementedError(
+            f"TransformCallbackMap fieldToMap={field!r}: the batch lineage "
+            "tracks identifier rewrites, which only touch subjects/objects"
+        )
+    if not lineage_tables:
+        raise NotImplementedError(
+            "transformCallback requires a QuadTransformerRemapResourceIdentifier "
+            "or QuadTransformerCompositeVaryingResource in the transformer "
+            "chain — no identifier lineage exists for this pipeline"
+        )
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    mapping = reduce(DataFrame.unionByName, lineage_tables).distinct()
+    value_col = TERM_COLUMNS[field][0]
+    matched = None
+    for mspec in cb["matchers"]:
+        marker = build_matcher(mspec)
+        mdf = marker(transformed).filter(F.col("__match")).drop("__match")
+        matched = mdf if matched is None else matched.unionByName(mdf)
+    matched_values = matched.select(F.col(value_col).alias("__v")).distinct()
+    rows = (
+        mapping.join(matched_values, mapping["mapped"] == F.col("__v"), "left_semi")
+        .select("res", "mapped")
+        .distinct()
+    )
+    _write_single_csv(rows, list(cb["columns"]), cb["file"])
+
+
+def _write_single_csv(rows: DataFrame, columns: list[str], file_path: str) -> None:
+    """One exact-path CSV file with header — the reference writes a plain
+    file stream (TransformCallbackMap.ts:45-67); Spark writes a part file
+    which is then moved into place (shared-filesystem assumption, same as
+    the N-Quads fixture layout)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="tcb_csv_")
+    rows.coalesce(1).write.mode("overwrite").csv(tmp)
+    parts = glob.glob(os.path.join(tmp, "part-*"))
+    parent = os.path.dirname(file_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    with open(file_path, "w") as out:
+        out.write(",".join(columns) + "\n")
+        for part in parts:
+            with open(part) as inp:
+                shutil.copyfileobj(inp, out)
+    shutil.rmtree(tmp)
 
 
 def _contains_file_sink(sink: dict[str, Any]) -> bool:
