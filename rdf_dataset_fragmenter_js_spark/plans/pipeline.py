@@ -35,7 +35,7 @@ from rdf_dataset_fragmenter_js_spark.sinks.paths import (
     write_fragment_nquads,
     write_fragments,
 )
-from rdf_dataset_fragmenter_js_spark.sources.nquads import composite_source, read_nquads
+from rdf_dataset_fragmenter_js_spark.sources.nquads import composite_source, read_rdf
 from rdf_dataset_fragmenter_js_spark.strategies import (
     route_composite,
     route_constant,
@@ -188,7 +188,9 @@ def build_strategy(spec: dict[str, Any]):
 def build_source(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
     t = spec["@type"]
     if t == "QuadSourceFile":
-        return read_nquads(spark, spec["filePath"])
+        # extension-dispatched (.nt/.nq vectorized, .ttl driver-parsed) with
+        # the optional baseIRI resolve (QuadSourceFile.ts:12,19-25,35-37)
+        return read_rdf(spark, spec["filePath"], base_iri=spec.get("baseIRI"))
     if t == "QuadSourceComposite":
         return composite_source([build_source(spark, s) for s in spec["sources"]])
     raise ValueError(f"Unknown source @type {t} (lib/io/)")

@@ -94,25 +94,62 @@ def parse_nquads_strict(lines: DataFrame, text_col: str = "value") -> DataFrame:
     return parse_nquads_lines(checked, text_col)
 
 
-#: extensions the vectorized parser handles; other RDF serializations
-#: (.ttl/.rdf/.jsonld — the reference delegates those to rdf-parse) are not
-#: line-parallel and are rejected fail-fast rather than silently mis-parsed
+#: extensions the vectorized parser handles
 SUPPORTED_EXTENSIONS = (".nt", ".nq", ".ntriples", ".nquads")
+#: extensions the driver-side Turtle parser handles (sources/turtle.py)
+TURTLE_EXTENSIONS = (".ttl", ".turtle")
+
+_SCHEME_PREFIX = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
 
 
-def read_nquads(spark: SparkSession, path: str) -> DataFrame:
+def resolve_terms_against_base(df: DataFrame, base_iri: str) -> DataFrame:
+    """Resolve relative IRI terms against ``base_iri`` (the reference's
+    ``baseIRI`` source option, ``lib/io/QuadSourceFile.ts:12,35-37``) —
+    all-native column resolution, applied only to scheme-less values."""
+    from rdf_dataset_fragmenter_js_spark.functions.iri import resolve_iri_col
+
+    base = F.lit(base_iri)
+    for value_col, type_col in (("s", "s_type"), ("p", None), ("o", "o_type"), ("g", None)):
+        col = F.col(value_col)
+        is_iri = (
+            (F.col(type_col) == NAMED_NODE) if type_col else col.isNotNull()
+        )
+        cond = is_iri & ~col.rlike(_SCHEME_PREFIX)
+        df = df.withColumn(
+            value_col, F.when(cond, resolve_iri_col(col, base)).otherwise(col)
+        )
+    return df
+
+
+def read_nquads(spark: SparkSession, path: str, base_iri: str | None = None) -> DataFrame:
     """``QuadSourceFile`` (``lib/io/QuadSourceFile.ts:19-25``) for .nt/.nq."""
     lowered = path.lower()
     dotted = "." in lowered.rsplit("/", 1)[-1]
     if dotted and not lowered.endswith(SUPPORTED_EXTENSIONS) and not lowered.endswith("*"):
         raise NotImplementedError(
             f"QuadSourceFile: unsupported RDF serialization for '{path}' — the "
-            f"vectorized line parser handles {SUPPORTED_EXTENSIONS}; other "
-            "formats (Turtle, RDF/XML, JSON-LD — rdf-parse formats in the "
-            "reference, lib/io/QuadSourceFile.ts:21) need a full RDF parser "
-            "and are not line-splittable for distributed reads"
+            f"vectorized line parser handles {SUPPORTED_EXTENSIONS} and the "
+            f"driver-side Turtle parser handles {TURTLE_EXTENSIONS} (use "
+            "read_rdf for extension dispatch); other formats (RDF/XML, "
+            "JSON-LD — rdf-parse formats in the reference, "
+            "lib/io/QuadSourceFile.ts:21) are not supported"
         )
-    return parse_nquads_lines(spark.read.text(path))
+    df = parse_nquads_lines(spark.read.text(path))
+    if base_iri:
+        df = resolve_terms_against_base(df, base_iri)
+    return df
+
+
+def read_rdf(spark: SparkSession, path: str, base_iri: str | None = None) -> DataFrame:
+    """``QuadSourceFile`` with format dispatch by extension (the reference
+    lets rdf-parse pick the parser from the path, QuadSourceFile.ts:19-25):
+    N-Triples/N-Quads → vectorized splittable line parser; Turtle →
+    driver-side parser (sources/turtle.py)."""
+    if path.lower().endswith(TURTLE_EXTENSIONS):
+        from rdf_dataset_fragmenter_js_spark.sources.turtle import read_turtle
+
+        return read_turtle(spark, path, base_iri=base_iri)
+    return read_nquads(spark, path, base_iri=base_iri)
 
 
 def composite_source(dfs: list[DataFrame]) -> DataFrame:

@@ -1,0 +1,403 @@
+"""Turtle source (``lib/io/QuadSourceFile.ts:19-25`` delegates non-N-Quads
+serializations to rdf-parse; Turtle is by far the most common of them in
+real configs).
+
+Turtle is NOT line-splittable (prefix state, multi-line literals, nested
+blank-node property lists), so unlike the vectorized N-Quads reader this
+parser runs on the DRIVER and distributes the parsed rows. That matches the
+format's actual use in reference configs — config-sized ontology/static
+files — and a size guard warns when a file is large enough that converting
+to N-Quads (splittable, vectorized) is the right move.
+
+Grammar coverage (W3C Turtle): ``@prefix``/``@base`` + SPARQL-style
+``PREFIX``/``BASE``, prefixed names with ``\\``-escaped and ``%``-encoded
+local parts, ``a``, predicate-object lists (``;``), object lists (``,``),
+all four string quoting forms with escapes, language tags, typed literals,
+numeric (integer/decimal/double) and boolean shorthands, blank-node labels,
+anonymous blank nodes and property lists (``[ … ]``), and collections
+(``( … )`` → rdf:first/rest/nil chains). Relative IRIs resolve against the
+active base (RFC 3986, the same resolver as the engine's column path).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+
+from rdf_dataset_fragmenter_js_spark.functions.iri import resolve_iri
+
+logger = logging.getLogger(__name__)
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+#: parse warning threshold — Turtle parses on the driver
+LARGE_FILE_BYTES = 128 * 1024 * 1024
+
+_IRIREF = re.compile(r'<([^<>"{}|^`\\\x00-\x20]*)>')
+_BNODE = re.compile(r"_:([A-Za-z0-9_][A-Za-z0-9_.\-]*)")
+_LANGTAG = re.compile(r"@([a-zA-Z]+(?:-[a-zA-Z0-9]+)*)")
+_NUMBER = re.compile(
+    r"[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)"
+)
+# pragmatic PNAME: prefix label (no colon) ':' local part with escapes; the
+# local part may contain dots but not end with an unescaped one
+_PNAME = re.compile(
+    r"((?:[A-Za-z_][A-Za-z0-9_.\-]*)?):((?:[A-Za-z0-9_\-.~]|%[0-9A-Fa-f]{2}|\\[_~.\-!$&'()*+,;=/?#@%])*)"
+)
+_DIRECTIVE = re.compile(r"@prefix|@base|(?i:PREFIX(?=\s))|(?i:BASE(?=\s))")
+_UCHAR = re.compile(r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})")
+
+_STRING_ESCAPES = {
+    "t": "\t",
+    "b": "\b",
+    "n": "\n",
+    "r": "\r",
+    "f": "\f",
+    '"': '"',
+    "'": "'",
+    "\\": "\\",
+}
+
+
+def _unescape_uchar(s: str) -> str:
+    return _UCHAR.sub(
+        lambda m: chr(int(m.group(1) or m.group(2), 16)), s
+    )
+
+
+def _unescape_string(s: str) -> str:
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt in _STRING_ESCAPES:
+                out.append(_STRING_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt == "u" and i + 6 <= n:
+                out.append(chr(int(s[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            if nxt == "U" and i + 10 <= n:
+                out.append(chr(int(s[i + 2 : i + 10], 16)))
+                i += 10
+                continue
+            raise ValueError(f"Bad string escape \\{nxt}")
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+class TurtleParser:
+    """Single-pass recursive-descent parser over the document text."""
+
+    def __init__(self, text: str, base_iri: str | None = None):
+        self.text = text
+        self.pos = 0
+        self.len = len(text)
+        self.base = base_iri
+        self.prefixes: dict[str, str] = {}
+        self.quads: list[tuple] = []
+        self._bnode_n = 0
+
+    # -- lexing helpers ----------------------------------------------------
+
+    def _skip_ws(self) -> None:
+        while self.pos < self.len:
+            c = self.text[self.pos]
+            if c in " \t\r\n":
+                self.pos += 1
+            elif c == "#":
+                nl = self.text.find("\n", self.pos)
+                self.pos = self.len if nl < 0 else nl + 1
+            else:
+                return
+
+    def _error(self, msg: str) -> ValueError:
+        line = self.text.count("\n", 0, self.pos) + 1
+        ctx = self.text[self.pos : self.pos + 30].replace("\n", "\\n")
+        return ValueError(f"Turtle parse error at line {line} near '{ctx}': {msg}")
+
+    def _expect(self, lit: str) -> None:
+        self._skip_ws()
+        if not self.text.startswith(lit, self.pos):
+            raise self._error(f"expected '{lit}'")
+        self.pos += len(lit)
+
+    def _peek(self) -> str:
+        self._skip_ws()
+        return self.text[self.pos] if self.pos < self.len else ""
+
+    def _match(self, rx: re.Pattern):
+        m = rx.match(self.text, self.pos)
+        if m:
+            self.pos = m.end()
+        return m
+
+    # -- terms -------------------------------------------------------------
+
+    def _resolve(self, iri: str) -> str:
+        if self.base is None:
+            return iri
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+            return iri
+        return resolve_iri(iri, self.base)
+
+    def _fresh_bnode(self) -> str:
+        self._bnode_n += 1
+        return f"genid-ttl-{self._bnode_n}"
+
+    def _read_iri(self) -> str | None:
+        """IRIREF or prefixed name → absolute IRI string, or None."""
+        self._skip_ws()
+        m = self._match(_IRIREF)
+        if m:
+            return self._resolve(_unescape_uchar(m.group(1)))
+        m = self._match(_PNAME)
+        if m:
+            prefix, local = m.group(1), m.group(2)
+            if prefix not in self.prefixes:
+                raise self._error(f"undefined prefix '{prefix}:'")
+            local = re.sub(r"\\(.)", r"\1", local)  # PN_LOCAL_ESC
+            return self.prefixes[prefix] + local
+        return None
+
+    def _read_string(self) -> str | None:
+        for quote in ('"""', "'''", '"', "'"):
+            if self.text.startswith(quote, self.pos):
+                start = self.pos + len(quote)
+                i = start
+                while True:
+                    i = self.text.find(quote, i)
+                    if i < 0:
+                        raise self._error("unterminated string")
+                    # count preceding backslashes
+                    j = i - 1
+                    while j >= start and self.text[j] == "\\":
+                        j -= 1
+                    if (i - 1 - j) % 2 == 0:
+                        break
+                    i += 1
+                raw = self.text[start:i]
+                if len(quote) == 1 and ("\n" in raw or "\r" in raw):
+                    raise self._error("newline in single-quoted string")
+                self.pos = i + len(quote)
+                return _unescape_string(raw)
+        return None
+
+    def _read_object(self):
+        """→ (o_type, value, datatype, lang)."""
+        self._skip_ws()
+        c = self._peek()
+        if c == "[":
+            return ("BlankNode", self._read_bnode_property_list(), None, None)
+        s = self._read_string()
+        if s is not None:
+            self._skip_ws()
+            if self.text.startswith("^^", self.pos):
+                self.pos += 2
+                dt = self._read_iri()
+                if dt is None:
+                    raise self._error("expected datatype IRI after ^^")
+                return ("Literal", s, dt, None)
+            m = self._match(_LANGTAG)
+            if m:
+                return ("Literal", s, None, m.group(1))
+            return ("Literal", s, None, None)
+        m = self._match(_BNODE)
+        if m:
+            return ("BlankNode", m.group(1), None, None)
+        # booleans / numbers before prefixed names ('true' parses as PNAME
+        # only with a colon, but check cheap literals first anyway)
+        for word, dt in (("true", XSD + "boolean"), ("false", XSD + "boolean")):
+            if self.text.startswith(word, self.pos) and not re.match(
+                r"[A-Za-z0-9_:\-]", self.text[self.pos + len(word) : self.pos + len(word) + 1] or " "
+            ):
+                self.pos += len(word)
+                return ("Literal", word, dt, None)
+        m = self._match(_NUMBER)
+        if m:
+            lex = m.group(0)
+            if "e" in lex.lower():
+                dt = XSD + "double"
+            elif "." in lex:
+                dt = XSD + "decimal"
+            else:
+                dt = XSD + "integer"
+            return ("Literal", lex, dt, None)
+        iri = self._read_iri()
+        if iri is not None:
+            return ("NamedNode", iri, None, None)
+        raise self._error("expected RDF term")
+
+    # -- emit --------------------------------------------------------------
+
+    def _emit(self, s_type, s, p, o_type, o, dt, lang):
+        self.quads.append(
+            (s_type, s, p, o_type, o, dt, lang, None, len(self.quads))
+        )
+
+    def _read_object_term(self):
+        """Full object handling including collections (which emit quads and
+        return their head term)."""
+        self._skip_ws()
+        if self._peek() == "(":
+            self._expect("(")
+            items = []
+            while self._peek() != ")":
+                items.append(self._read_object_term())
+            self._expect(")")
+            if not items:
+                return ("NamedNode", RDF_NS + "nil", None, None)
+            heads = [self._fresh_bnode() for _ in items]
+            for i, (it, head) in enumerate(zip(items, heads)):
+                self._emit("BlankNode", head, RDF_NS + "first", it[0], it[1], it[2], it[3])
+                if i + 1 < len(heads):
+                    self._emit("BlankNode", head, RDF_NS + "rest", "BlankNode", heads[i + 1], None, None)
+                else:
+                    self._emit("BlankNode", head, RDF_NS + "rest", "NamedNode", RDF_NS + "nil", None, None)
+            return ("BlankNode", heads[0], None, None)
+        return self._read_object()
+
+    def _read_bnode_property_list(self) -> str:
+        self._expect("[")
+        label = self._fresh_bnode()
+        if self._peek() != "]":
+            self._read_predicate_object_list("BlankNode", label)
+        self._expect("]")
+        return label
+
+    def _read_verb(self) -> str:
+        self._skip_ws()
+        if self.text.startswith("a", self.pos) and not re.match(
+            r"[A-Za-z0-9_:\-]", self.text[self.pos + 1 : self.pos + 2] or " "
+        ):
+            self.pos += 1
+            return RDF_NS + "type"
+        iri = self._read_iri()
+        if iri is None:
+            raise self._error("expected predicate")
+        return iri
+
+    def _read_predicate_object_list(self, s_type: str, s: str) -> None:
+        while True:
+            p = self._read_verb()
+            while True:
+                o_type, o, dt, lang = self._read_object_term()
+                self._emit(s_type, s, p, o_type, o, dt, lang)
+                self._skip_ws()
+                if self._peek() == ",":
+                    self._expect(",")
+                    continue
+                break
+            self._skip_ws()
+            if self._peek() == ";":
+                # swallow any run of semicolons; list may end here
+                while self._peek() == ";":
+                    self._expect(";")
+                if self._peek() in (".", "]", ""):
+                    return
+                continue
+            return
+
+    # -- statements --------------------------------------------------------
+
+    def _read_directive(self) -> bool:
+        save = self.pos
+        self._skip_ws()
+        m = self._match(_DIRECTIVE)
+        if not m:
+            self.pos = save
+            return False
+        kind = m.group(0).lower().lstrip("@")
+        if kind == "prefix":
+            self._skip_ws()
+            pm = self._match(_PNAME)
+            if not pm or pm.group(2):
+                raise self._error("expected 'prefix:' in @prefix directive")
+            self._skip_ws()
+            im = self._match(_IRIREF)
+            if not im:
+                raise self._error("expected IRI in @prefix directive")
+            self.prefixes[pm.group(1)] = self._resolve(_unescape_uchar(im.group(1)))
+        else:  # base
+            self._skip_ws()
+            im = self._match(_IRIREF)
+            if not im:
+                raise self._error("expected IRI in @base directive")
+            # a relative @base resolves against the previous base
+            self.base = self._resolve(_unescape_uchar(im.group(1)))
+        if m.group(0).startswith("@"):
+            self._expect(".")
+        return True
+
+    def _read_triples(self) -> None:
+        self._skip_ws()
+        c = self._peek()
+        if c == "[":
+            label = self._read_bnode_property_list()
+            self._skip_ws()
+            if self._peek() != ".":
+                self._read_predicate_object_list("BlankNode", label)
+            self._expect(".")
+            return
+        if c == "(":
+            o_type, head, _, _ = self._read_object_term()
+            self._read_predicate_object_list(o_type, head)
+            self._expect(".")
+            return
+        m = self._match(_BNODE)
+        if m:
+            self._read_predicate_object_list("BlankNode", m.group(1))
+            self._expect(".")
+            return
+        iri = self._read_iri()
+        if iri is None:
+            raise self._error("expected subject")
+        self._read_predicate_object_list("NamedNode", iri)
+        self._expect(".")
+
+    def parse(self) -> list[tuple]:
+        while True:
+            self._skip_ws()
+            if self.pos >= self.len:
+                return self.quads
+            if self._read_directive():
+                continue
+            self._read_triples()
+
+
+def parse_turtle(text: str, base_iri: str | None = None) -> list[tuple]:
+    """Parse a Turtle document → list of quad tuples in the engine schema
+    (s_type, s, p, o_type, o, o_datatype, o_lang, g, seq)."""
+    return TurtleParser(text, base_iri=base_iri).parse()
+
+
+def read_turtle(spark, path: str, base_iri: str | None = None):
+    """``QuadSourceFile`` for ``.ttl`` — driver-parsed (Turtle is not
+    line-splittable), distributed as rows. ``base_iri`` defaults to the
+    file's URI, like rdf-parse's ``path`` option."""
+    from rdf_dataset_fragmenter_js_spark.quads import QUAD_SCHEMA
+
+    size = os.path.getsize(path)
+    if size > LARGE_FILE_BYTES:
+        logger.warning(
+            "read_turtle: %s is %d MB and parses on the driver — convert "
+            "large inputs to N-Quads for splittable, vectorized reads",
+            path,
+            size >> 20,
+        )
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    if base_iri is None:
+        base_iri = "file://" + os.path.abspath(path)
+    rows = parse_turtle(text, base_iri=base_iri)
+    df = spark.createDataFrame(rows, QUAD_SCHEMA)
+    target = spark.sparkContext.defaultParallelism
+    if len(rows) > 10 * target:
+        df = df.repartition(target)
+    return df

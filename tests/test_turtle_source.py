@@ -1,0 +1,139 @@
+"""Turtle source parity: the reference delegates .ttl to rdf-parse
+(lib/io/QuadSourceFile.ts:19-25); our driver-side parser must produce the
+same quad multisets as the N-Quads twin and run end-to-end from a config."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_dataset_fragmenter_js_spark.sources.nquads import read_nquads, read_rdf
+from rdf_dataset_fragmenter_js_spark.sources.turtle import parse_turtle
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _vals(rows):
+    return sorted((r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows)
+
+
+def test_turtle_twin_of_reference_fixture(spark, tmp_path):
+    """The reference jest fixture (test/unit/io/rdf_files/test.nt) and its
+    Turtle twin parse to identical quad multisets."""
+    nt = tmp_path / "test.nt"
+    nt.write_text(
+        "<http://one.example/subject1> <http://one.example/predicate1> <http://one.example/object1> .\n"
+        '_:subject1 <http://an.example/predicate1> "object1" .\n'
+        '_:subject2 <http://an.example/predicate2> "object2" .\n'
+    )
+    ttl = tmp_path / "test.ttl"
+    ttl.write_text(
+        "@prefix one: <http://one.example/> .\n"
+        "@prefix an: <http://an.example/> .\n"
+        "one:subject1 one:predicate1 one:object1 .\n"
+        '_:subject1 an:predicate1 "object1" .\n'
+        '_:subject2 an:predicate2 "object2" .\n'
+    )
+    a = _vals(tuple(r)[:8] for r in read_nquads(spark, str(nt)).collect())
+    b = _vals(tuple(r)[:8] for r in read_rdf(spark, str(ttl)).collect())
+    assert a == b
+
+
+def test_turtle_feature_coverage():
+    quads = parse_turtle(
+        """
+@prefix ex: <http://ex.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@base <http://base.org/dir/> .
+PREFIX sp: <http://sparql.example/>
+
+ex:s a ex:T ;                       # 'a' + predicate-object list
+     ex:num 42, 3.14, 1.0e3 ;      # object list + numeric shorthands
+     ex:flag true ;
+     ex:lang "bonjour"@fr ;
+     ex:typed "5"^^xsd:byte ;
+     ex:long \"\"\"multi
+line \\"quoted\\"\"\"\" ;
+     ex:rel <child> .               # relative IRI vs @base
+<../up> sp:p [ ex:inner "x" ; ex:inner2 ex:v ] .
+ex:list ex:items ( ex:a "b" 3 ) .
+ex:empty ex:items () .
+_:named ex:p ex:o .
+""",
+        base_iri="http://ignored.example/",
+    )
+    vals = {(q[0], q[1], q[2], q[3], q[4], q[5], q[6]) for q in quads}
+    E = "http://ex.org/"
+    assert ("NamedNode", E + "s", RDF_NS + "type", "NamedNode", E + "T", None, None) in vals
+    assert ("NamedNode", E + "s", E + "num", "Literal", "42", XSD + "integer", None) in vals
+    assert ("NamedNode", E + "s", E + "num", "Literal", "3.14", XSD + "decimal", None) in vals
+    assert ("NamedNode", E + "s", E + "num", "Literal", "1.0e3", XSD + "double", None) in vals
+    assert ("NamedNode", E + "s", E + "flag", "Literal", "true", XSD + "boolean", None) in vals
+    assert ("NamedNode", E + "s", E + "lang", "Literal", "bonjour", None, "fr") in vals
+    assert ("NamedNode", E + "s", E + "typed", "Literal", "5", XSD + "byte", None) in vals
+    assert ("NamedNode", E + "s", E + "long", "Literal", 'multi\nline "quoted"', None, None) in vals
+    # relative IRIs resolve against the ACTIVE @base, not the initial one
+    assert ("NamedNode", E + "s", E + "rel", "NamedNode", "http://base.org/dir/child", None, None) in vals
+    up = [q for q in quads if q[1] == "http://base.org/up"]
+    assert up and up[0][2] == "http://sparql.example/p" and up[0][3] == "BlankNode"
+    inner_b = up[0][4]
+    assert ("BlankNode", inner_b, E + "inner", "Literal", "x", None, None) in vals
+    assert ("BlankNode", inner_b, E + "inner2", "NamedNode", E + "v", None, None) in vals
+    # collection → rdf:first/rest chain ending in rdf:nil
+    firsts = [q for q in quads if q[2] == RDF_NS + "first"]
+    assert [(q[3], q[4]) for q in firsts] == [
+        ("NamedNode", E + "a"), ("Literal", "b"), ("Literal", "3")
+    ]
+    rests = [q for q in quads if q[2] == RDF_NS + "rest"]
+    assert sum(1 for q in rests if q[4] == RDF_NS + "nil") == 1
+    assert ("NamedNode", E + "empty", E + "items", "NamedNode", RDF_NS + "nil", None, None) in vals
+    assert ("BlankNode", "named", E + "p", "NamedNode", E + "o", None, None) in vals
+
+
+def test_turtle_errors():
+    with pytest.raises(ValueError, match="undefined prefix"):
+        parse_turtle("nope:s <http://p> <http://o> .")
+    with pytest.raises(ValueError, match="unterminated string"):
+        parse_turtle('<http://s> <http://p> "oops .')
+    with pytest.raises(ValueError, match="expected '\\.'"):
+        parse_turtle("<http://s> <http://p> <http://o>")
+
+
+def test_base_iri_option_nquads(spark, tmp_path):
+    """The reference's baseIRI source option (QuadSourceFile.ts:12,35-37)
+    resolves relative IRIs in line-based files — natively, no UDF."""
+    nt = tmp_path / "rel.nt"
+    nt.write_text(
+        "<a> <http://p.org/p> <../b> .\n"
+        '<http://abs.org/s> <http://p.org/p> "lit" .\n'
+    )
+    rows = read_nquads(spark, str(nt), base_iri="http://base.org/x/y/").collect()
+    vals = {(r.s, r.p, r.o) for r in rows}
+    assert ("http://base.org/x/y/a", "http://p.org/p", "http://base.org/x/b") in vals
+    assert ("http://abs.org/s", "http://p.org/p", "lit") in vals
+
+
+def test_turtle_config_end_to_end(spark, tmp_path):
+    """A ported config pointing at a .ttl source runs the full pipeline."""
+    from rdf_dataset_fragmenter_js_spark.plans.pipeline import compile_pipeline
+
+    ttl = tmp_path / "data.ttl"
+    ttl.write_text(
+        "@prefix ex: <http://example.org/> .\n"
+        "ex:a ex:p ex:b ; ex:q ex:c .\n"
+        "ex:b ex:p ex:a .\n"
+    )
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": str(ttl)},
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+    }
+    routed = compile_pipeline(spark, spec)
+    got = sorted((r.doc, r.s, r.p, r.o) for r in routed.collect())
+    E = "http://example.org/"
+    assert got == sorted(
+        [
+            (E + "a", E + "a", E + "p", E + "b"),
+            (E + "a", E + "a", E + "q", E + "c"),
+            (E + "b", E + "b", E + "p", E + "a"),
+        ]
+    )
