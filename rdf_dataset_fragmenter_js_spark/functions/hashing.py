@@ -53,11 +53,7 @@ def imurmurhash(text: str) -> int:
     code units (JS ``charCodeAt``) — astral codepoints contribute their two
     surrogates, exactly like a JS string.
     """
-    import array as _array
-
-    units = _array.array("H")  # native-endian uint16; x86/arm64 are LE
-    units.frombytes(text.encode("utf-16-le"))
-    codes = units.tolist()
+    codes = np.frombuffer(text.encode("utf-16-le"), dtype="<u2").tolist()
     n = len(codes)
     h1 = 0
     nblocks = n >> 2

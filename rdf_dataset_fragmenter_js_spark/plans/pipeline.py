@@ -212,8 +212,11 @@ def _apply_transformer(
             return df
         if t == "QuadTransformerRemapResourceIdentifier":
             remap = build_transformer(tr_spec)
-            lineage_sink.append(remap.mapping_table(df))
-            return remap(df)
+            # build the mapping plan ONCE and reuse it for both the rewrite
+            # and the lineage CSV (remap(df) would re-derive it internally)
+            m = remap.mapping_table(df)
+            lineage_sink.append(m)
+            return ST.apply_mapping(df, m)
         if t == "QuadTransformerCompositeVaryingResource":
             children = [build_transformer(s) for s in tr_spec["transformers"]]
             m = ST.composite_varying_mapping(
@@ -256,7 +259,11 @@ def run_pipeline_spec(spark: SparkSession, spec: dict[str, Any] | str, output_di
     lineage: list[DataFrame] | None = [] if callbacks else None
     transformed = compile_transformed(spark, spec, lineage_sink=lineage)
     if callbacks:
-        # consumed by the sink AND each callback — compute the chain once
+        # the mapping tables feed both the rewrite joins (inside
+        # `transformed`) and the callback CSVs; the transformed frame feeds
+        # the sink and every callback's matcher pass — persist both layers
+        # so the source is not re-scanned per consumer
+        lineage = [m.persist() for m in lineage or []]
         transformed = transformed.persist()
     try:
         strategy = build_strategy(spec["fragmentationStrategy"])
@@ -266,6 +273,8 @@ def run_pipeline_spec(spark: SparkSession, spec: dict[str, Any] | str, output_di
     finally:
         if callbacks:
             transformed.unpersist()
+            for m in lineage or []:
+                m.unpersist()
 
 
 def run_transform_callback(
@@ -314,12 +323,17 @@ def run_transform_callback(
         marker = build_matcher(mspec)
         mdf = marker(transformed).filter(F.col("__match")).drop("__match")
         matched = mdf if matched is None else matched.unionByName(mdf)
-    matched_values = matched.select(F.col(value_col).alias("__v")).distinct()
-    rows = (
-        mapping.join(matched_values, mapping["mapped"] == F.col("__v"), "left_semi")
-        .select("res", "mapped")
-        .distinct()
-    )
+    if matched is None:
+        # reference semantics: no matchers → nothing ever matches → the
+        # callback writes only the CSV header (TransformCallbackMap.ts:38)
+        rows = mapping.select("res", "mapped").limit(0)
+    else:
+        matched_values = matched.select(F.col(value_col).alias("__v")).distinct()
+        rows = (
+            mapping.join(matched_values, mapping["mapped"] == F.col("__v"), "left_semi")
+            .select("res", "mapped")
+            .distinct()
+        )
     _write_single_csv(rows, list(cb["columns"]), cb["file"])
 
 
@@ -358,6 +372,27 @@ def _contains_file_sink(sink: dict[str, Any]) -> bool:
     if t == "QuadSinkComposite":
         return any(_contains_file_sink(c) for c in sink["sinks"])
     return False
+
+
+def _is_nquads_chain(sink: dict[str, Any]) -> bool:
+    """A QuadSinkFile in the reference N-Quads layout, possibly wrapped in
+    QuadSinkFiltered layers — these children can share one output tree with
+    true append semantics (below)."""
+    t = sink["@type"]
+    if t == "QuadSinkFiltered":
+        return _is_nquads_chain(sink["sink"])
+    return t == "QuadSinkFile" and sink.get("outputFormat") != "parquet"
+
+
+def _nquads_chain_frame(sink: dict[str, Any], routed: DataFrame) -> DataFrame:
+    """Mapped (path, quad) frame for an N-Quads chain (filters applied)."""
+    if sink["@type"] == "QuadSinkFiltered":
+        return _nquads_chain_frame(
+            sink["sink"], sink_filtered(routed, build_matcher(sink["matcher"]))
+        )
+    return map_doc_to_path(
+        routed, sink["iriToPath"], file_extension=sink.get("fileExtension")
+    )
 
 
 def run_sink(spark: SparkSession, routed: DataFrame, sink: dict[str, Any], output_dir: str) -> None:
@@ -399,21 +434,42 @@ def run_sink(spark: SparkSession, routed: DataFrame, sink: dict[str, Any], outpu
         filtered = sink_filtered(routed, build_matcher(sink["matcher"]))
         run_sink(spark, filtered, sink["sink"], output_dir)
     elif t == "QuadSinkComposite":
-        # The reference's file sinks APPEND, so two children writing the
-        # same tree interleave; batch writers overwrite. When more than one
-        # child resolves to a file sink, give each its own child_<i> subtree
-        # so no child clobbers another's output (QuadSinkComposite.ts:14-24
-        # fans out to independently configured sinks).
+        # The reference's file sinks APPEND into one tree
+        # (QuadSinkComposite.ts:14-24 fans out to independently configured
+        # sinks). Batch equivalents:
+        # * N-Quads children — union their mapped (path, quad) frames and
+        #   write ONCE: quads from different children targeting the same
+        #   path land in the same file, which IS the reference's append
+        #   semantics, and the on-disk layout matches the reference's.
+        # * parquet children each write a whole dataset root in overwrite
+        #   mode, so when the composite has more than one file output they
+        #   get isolated child_<i> subtrees instead of clobbering.
         import os as _os
 
         children = sink["sinks"]
-        file_children = [i for i, c in enumerate(children) if _contains_file_sink(c)]
+        nq_children = [i for i, c in enumerate(children) if _is_nquads_chain(c)]
+        parquet_children = [
+            i
+            for i, c in enumerate(children)
+            if i not in nq_children and _contains_file_sink(c)
+        ]
+        n_file_outputs = len(parquet_children) + (1 if nq_children else 0)
         routed = routed.persist()
         try:
+            if nq_children:
+                frames = [
+                    _nquads_chain_frame(children[i], routed) for i in nq_children
+                ]
+                union = frames[0]
+                for f in frames[1:]:
+                    union = union.unionByName(f)
+                write_fragment_nquads(union, output_dir).collect()
             for i, child in enumerate(children):
+                if i in nq_children:
+                    continue
                 child_dir = (
                     _os.path.join(output_dir, f"child_{i}")
-                    if len(file_children) > 1 and i in file_children
+                    if i in parquet_children and n_file_outputs > 1
                     else output_dir
                 )
                 run_sink(spark, routed, child, child_dir)

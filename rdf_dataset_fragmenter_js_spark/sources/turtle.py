@@ -38,11 +38,14 @@ LARGE_FILE_BYTES = 128 * 1024 * 1024
 _IRIREF = re.compile(r'<([^<>"{}|^`\\\x00-\x20]*)>')
 _BNODE = re.compile(r"_:([A-Za-z0-9_][A-Za-z0-9_.\-]*)")
 _LANGTAG = re.compile(r"@([a-zA-Z]+(?:-[a-zA-Z0-9]+)*)")
+# Turtle grammar: DOUBLE (has exponent) | DECIMAL (dot REQUIRES trailing
+# digits) | INTEGER — so 'ex:p 1.' lexes as integer 1 + statement dot
 _NUMBER = re.compile(
-    r"[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)"
+    r"[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.\d+[eE][+-]?\d+|\d+[eE][+-]?\d+|\d*\.\d+|\d+)"
 )
 # pragmatic PNAME: prefix label (no colon) ':' local part with escapes; the
-# local part may contain dots but not end with an unescaped one
+# local part may contain dots but not END with an unescaped one — enforced
+# by _strip_trailing_dots after the greedy match
 _PNAME = re.compile(
     r"((?:[A-Za-z_][A-Za-z0-9_.\-]*)?):((?:[A-Za-z0-9_\-.~]|%[0-9A-Fa-f]{2}|\\[_~.\-!$&'()*+,;=/?#@%])*)"
 )
@@ -140,6 +143,16 @@ class TurtleParser:
 
     # -- terms -------------------------------------------------------------
 
+    def _strip_trailing_dots(self, value: str) -> str:
+        """PN_LOCAL / BLANK_NODE_LABEL may contain dots but must not end
+        with an unescaped one — the greedy lexer over-consumes the
+        statement-terminating '.', so give trailing unescaped dots back to
+        the input ('ex:o.' → name 'ex:o' + terminator)."""
+        while value.endswith(".") and not value.endswith("\\."):
+            value = value[:-1]
+            self.pos -= 1
+        return value
+
     def _resolve(self, iri: str) -> str:
         if self.base is None:
             return iri
@@ -148,8 +161,10 @@ class TurtleParser:
         return resolve_iri(iri, self.base)
 
     def _fresh_bnode(self) -> str:
+        # '!' cannot appear in a parsed BLANK_NODE_LABEL (_BNODE regex), so
+        # generated labels can never collide with document-authored ones
         self._bnode_n += 1
-        return f"genid-ttl-{self._bnode_n}"
+        return f"genid!ttl!{self._bnode_n}"
 
     def _read_iri(self) -> str | None:
         """IRIREF or prefixed name → absolute IRI string, or None."""
@@ -162,6 +177,7 @@ class TurtleParser:
             prefix, local = m.group(1), m.group(2)
             if prefix not in self.prefixes:
                 raise self._error(f"undefined prefix '{prefix}:'")
+            local = self._strip_trailing_dots(local)
             local = re.sub(r"\\(.)", r"\1", local)  # PN_LOCAL_ESC
             return self.prefixes[prefix] + local
         return None
@@ -182,6 +198,14 @@ class TurtleParser:
                     if (i - 1 - j) % 2 == 0:
                         break
                     i += 1
+                if len(quote) == 3:
+                    # STRING_LITERAL_LONG maximal munch: up to two quote
+                    # chars may belong to the CONTENT right before the
+                    # closing delimiter ('"""abc""""' → content 'abc"')
+                    extra = 0
+                    while extra < 2 and self.text.startswith(quote[0], i + 3):
+                        i += 1
+                        extra += 1
                 raw = self.text[start:i]
                 if len(quote) == 1 and ("\n" in raw or "\r" in raw):
                     raise self._error("newline in single-quoted string")
@@ -210,7 +234,7 @@ class TurtleParser:
             return ("Literal", s, None, None)
         m = self._match(_BNODE)
         if m:
-            return ("BlankNode", m.group(1), None, None)
+            return ("BlankNode", self._strip_trailing_dots(m.group(1)), None, None)
         # booleans / numbers before prefixed names ('true' parses as PNAME
         # only with a colon, but check cheap literals first anyway)
         for word, dt in (("true", XSD + "boolean"), ("false", XSD + "boolean")):
@@ -352,7 +376,7 @@ class TurtleParser:
             return
         m = self._match(_BNODE)
         if m:
-            self._read_predicate_object_list("BlankNode", m.group(1))
+            self._read_predicate_object_list("BlankNode", self._strip_trailing_dots(m.group(1)))
             self._expect(".")
             return
         iri = self._read_iri()

@@ -54,10 +54,12 @@ def stream_pipeline_spec(
             "directory (composite sources: union upstream into one dir)"
         )
     sink = spec["quadSink"]
-    if sink["@type"] != "QuadSinkFile":
+    if sink["@type"] != "QuadSinkFile" or sink.get("outputFormat") != "parquet":
         raise NotImplementedError(
             "stream_pipeline_spec writes the partitioned-parquet QuadSinkFile "
-            "layout; compose other sinks over the written table"
+            "layout — set outputFormat='parquet' explicitly (the batch "
+            "runner's default N-Quads file layout cannot append "
+            "incrementally); compose other sinks over the written table"
         )
     # Build once; the per-batch closure re-applies the same lazy combinators
     # to each micro-batch frame (they are pure DataFrame -> DataFrame).

@@ -31,6 +31,7 @@ def test_stream_pipeline_incremental_and_resumable(spark, tmp_path):
         "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
         "quadSink": {
             "@type": "QuadSinkFile",
+            "outputFormat": "parquet",
             "iriToPath": {"^http://pods\\.local/": "frags/"},
         },
     }

@@ -137,3 +137,41 @@ def test_turtle_config_end_to_end(spark, tmp_path):
             (E + "b", E + "b", E + "p", E + "a"),
         ]
     )
+
+
+def test_turtle_lexer_edge_cases():
+    """Regression coverage for lexer edges found in review: statement dot
+    glued to names/numbers, long strings ending in quotes, generated bnode
+    labels disjoint from document labels."""
+    E = "http://ex.org/"
+    # no space before the terminating dot — PN_LOCAL/labels/numbers must
+    # not swallow it
+    quads = parse_turtle(
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:s ex:p ex:o.\n"
+        "ex:s ex:n 1.\n"
+        "ex:s ex:d 1.5.\n"
+        "_:b1 ex:p ex:o2.\n"
+        "ex:s ex:b _:b2.\n"
+    )
+    vals = {(q[0], q[1], q[2], q[3], q[4], q[5]) for q in quads}
+    assert ("NamedNode", E + "s", E + "p", "NamedNode", E + "o", None) in vals
+    assert ("NamedNode", E + "s", E + "n", "Literal", "1", XSD + "integer") in vals
+    assert ("NamedNode", E + "s", E + "d", "Literal", "1.5", XSD + "decimal") in vals
+    assert ("BlankNode", "b1", E + "p", "NamedNode", E + "o2", None) in vals
+    assert ("NamedNode", E + "s", E + "b", "BlankNode", "b2", None) in vals
+
+    # long string whose content ends in quote characters (maximal munch)
+    quads = parse_turtle('<http://s> <http://p> """abc"""" .')
+    assert quads[0][4] == 'abc"'
+    quads = parse_turtle('<http://s> <http://p> """abc""""" .')
+    assert quads[0][4] == 'abc""'
+
+    # document-authored labels can never collide with generated ones
+    quads = parse_turtle(
+        "@prefix ex: <http://ex.org/> .\n"
+        "_:genid1 ex:p [ ex:q ex:v ] .\n"
+    )
+    labels = {q[1] for q in quads if q[0] == "BlankNode"}
+    gen = {l for l in labels if l != "genid1"}
+    assert len(gen) == 1 and "!" in next(iter(gen))
