@@ -92,10 +92,14 @@ def bnode_owners(
     Two physical strategies (same split as ``near_dup_clusters`` /
     ``canonical_mapping``): link tables ≤ ``driver_threshold`` rows are
     collected and closed on the driver in plain Python — the distributed
-    loop costs ~3 jobs of fixed scheduling per iteration, which dwarfs a
-    million-link BFS. Above the threshold, the iterative frontier-join loop
-    runs (the 100 TB path: only the link table iterates, never the quads).
-    """
+    loop costs ~3 jobs of fixed scheduling per iteration, which dwarfs the
+    BFS on small link sets. Above the threshold, the iterative
+    frontier-join loop runs (the 100 TB path: only the link table iterates,
+    never the quads). Measured crossover (BENCH.md "Distributed-path
+    timings"): on pre-materialized link tables the distributed loop edges
+    out the driver BFS at ~300k links, but inside the full routing query
+    the two paths tie at that size (A/B, warm: 16.4 s vs 16.5 s) — the
+    1M default keeps the simpler path where it is not measurably worse."""
     # Base: named key → bnode value  (FragmentationBlankNodeBuffer.ts:53-64)
     # Both link tables are checkpointed once up front: the quad scan runs
     # exactly once per table, the threshold probe and the driver transfer
