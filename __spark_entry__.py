@@ -478,10 +478,13 @@ def q_text_tokens(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary media columns → Arrow-batched decode/featurize plumbing (the
-    decoders are deterministic stubs — container has no codecs; the Spark
-    plumbing is real). Input is the deterministic synthetic media table, so
-    an independent SQL oracle can predict ids/kinds/sizes/dims exactly."""
+    """Binary media columns → Arrow-batched decode/featurize over REAL
+    container formats: P6 PPM images (header parse → grayscale → 8×8
+    block-mean resize) and RIFF/WAV PCM-16 audio (chunk walk → samples →
+    128 frame energies); video rows exercise the skip path (ffmpeg absent).
+    The synthetic table holds valid files with sizes derivable from the
+    generator geometry, so an independent SQL oracle predicts
+    ids/kinds/byte-sizes/feature-dims exactly."""
     from rdf_dataset_fragmenter_js_spark.textops.multimodal import (
         extract_features,
         synthetic_media,
@@ -1176,9 +1179,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "multimodal_features": """
+            -- real container formats: P6 PPM = 13-byte header ('P6\\n16 12\\n255\\n')
+            -- + 3*16*12 raster = 589 B; PCM WAV = 44-byte RIFF header +
+            -- 2 bytes/sample * (800 + (id%5)*160) samples
             SELECT CAST(i AS BIGINT) AS media_id,
                    CASE WHEN i % 3 = 0 THEN 'image' ELSE 'audio' END AS kind,
-                   CAST(128 AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN i % 3 = 0 THEN 589
+                             ELSE 44 + 2 * (800 + (i % 5) * 160) END AS BIGINT) AS n_bytes,
                    CAST(CASE WHEN i % 3 = 0 THEN 64 ELSE 128 END AS BIGINT) AS feat_dim
             FROM range(300) t(i) WHERE i % 3 IN (0, 1)
         """,
