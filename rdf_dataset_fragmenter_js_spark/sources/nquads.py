@@ -98,6 +98,8 @@ def parse_nquads_strict(lines: DataFrame, text_col: str = "value") -> DataFrame:
 SUPPORTED_EXTENSIONS = (".nt", ".nq", ".ntriples", ".nquads")
 #: extensions the driver-side Turtle parser handles (sources/turtle.py)
 TURTLE_EXTENSIONS = (".ttl", ".turtle")
+#: extensions the driver-side RDF/XML parser handles (sources/rdfxml.py)
+RDFXML_EXTENSIONS = (".rdf", ".owl", ".rdfxml")
 
 _SCHEME_PREFIX = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
 
@@ -128,11 +130,12 @@ def read_nquads(spark: SparkSession, path: str, base_iri: str | None = None) -> 
     if dotted and not lowered.endswith(SUPPORTED_EXTENSIONS) and not lowered.endswith("*"):
         raise NotImplementedError(
             f"QuadSourceFile: unsupported RDF serialization for '{path}' — the "
-            f"vectorized line parser handles {SUPPORTED_EXTENSIONS} and the "
-            f"driver-side Turtle parser handles {TURTLE_EXTENSIONS} (use "
-            "read_rdf for extension dispatch); other formats (RDF/XML, "
-            "JSON-LD — rdf-parse formats in the reference, "
-            "lib/io/QuadSourceFile.ts:21) are not supported"
+            f"vectorized line parser handles {SUPPORTED_EXTENSIONS}; the "
+            f"driver-side parsers handle {TURTLE_EXTENSIONS} and "
+            f"{RDFXML_EXTENSIONS} (use read_rdf for extension dispatch); "
+            "JSON-LD (rdf-parse format in the reference, "
+            "lib/io/QuadSourceFile.ts:21) is not supported — convert to "
+            "N-Quads/Turtle"
         )
     df = parse_nquads_lines(spark.read.text(path))
     if base_iri:
@@ -143,12 +146,17 @@ def read_nquads(spark: SparkSession, path: str, base_iri: str | None = None) -> 
 def read_rdf(spark: SparkSession, path: str, base_iri: str | None = None) -> DataFrame:
     """``QuadSourceFile`` with format dispatch by extension (the reference
     lets rdf-parse pick the parser from the path, QuadSourceFile.ts:19-25):
-    N-Triples/N-Quads → vectorized splittable line parser; Turtle →
-    driver-side parser (sources/turtle.py)."""
-    if path.lower().endswith(TURTLE_EXTENSIONS):
+    N-Triples/N-Quads → vectorized splittable line parser; Turtle and
+    RDF/XML → driver-side parsers (sources/turtle.py, sources/rdfxml.py)."""
+    lowered = path.lower()
+    if lowered.endswith(TURTLE_EXTENSIONS):
         from rdf_dataset_fragmenter_js_spark.sources.turtle import read_turtle
 
         return read_turtle(spark, path, base_iri=base_iri)
+    if lowered.endswith(RDFXML_EXTENSIONS):
+        from rdf_dataset_fragmenter_js_spark.sources.rdfxml import read_rdfxml
+
+        return read_rdfxml(spark, path, base_iri=base_iri)
     return read_nquads(spark, path, base_iri=base_iri)
 
 

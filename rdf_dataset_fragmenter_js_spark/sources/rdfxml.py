@@ -1,0 +1,206 @@
+"""RDF/XML source (``lib/io/QuadSourceFile.ts:19-25`` delegates ``.rdf`` to
+rdf-parse). Driver-side like the Turtle parser — RDF/XML is a nested XML
+document, not line-splittable — built on stdlib ``xml.etree``.
+
+Grammar coverage (the RDF/XML constructs that appear in real ontology /
+vocabulary files): ``rdf:RDF`` roots, ``rdf:Description`` and typed node
+elements, ``rdf:about`` / ``rdf:nodeID`` / ``rdf:ID`` / anonymous subjects,
+nested node elements as objects, ``rdf:resource`` / ``rdf:nodeID`` object
+references, ``rdf:datatype`` and (scoped, inherited) ``xml:lang`` literals,
+scoped ``xml:base``, property attributes on node and property elements,
+``rdf:parseType="Resource"``, and ``rdf:li`` container membership.
+Reification attributes and ``parseType="Literal"/"Collection"`` fail fast
+with a targeted message rather than silently mis-parsing.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+from rdf_dataset_fragmenter_js_spark.functions.iri import resolve_iri
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XML_NS = "http://www.w3.org/XML/1998/namespace"
+
+_RDF = "{" + RDF_NS + "}"
+_XML_LANG = "{" + XML_NS + "}lang"
+_XML_BASE = "{" + XML_NS + "}base"
+
+#: rdf:-namespace attributes that are syntax, not property attributes
+_SYNTAX_ATTRS = {
+    _RDF + n for n in ("about", "ID", "nodeID", "resource", "datatype", "parseType")
+}
+
+
+def _split_tag(tag: str) -> tuple[str, str]:
+    if not tag.startswith("{"):
+        raise ValueError(f"un-namespaced element <{tag}> — RDF/XML names must be qualified")
+    uri, local = tag[1:].split("}", 1)
+    return uri, local
+
+
+class _Parser:
+    def __init__(self, base_iri: str | None):
+        self.base = base_iri
+        self.quads: list[tuple] = []
+        self._bnode_n = 0
+
+    def _fresh_bnode(self) -> str:
+        self._bnode_n += 1
+        return f"genid!xml!{self._bnode_n}"
+
+    def _resolve(self, iri: str, base: str | None) -> str:
+        if base is None:
+            return iri
+        return resolve_iri(iri, base)
+
+    def _emit(self, s_type, s, p, o_type, o, dt=None, lang=None):
+        self.quads.append((s_type, s, p, o_type, o, dt, lang, None, len(self.quads)))
+
+    # -- node elements -----------------------------------------------------
+
+    def node(self, elem: ET.Element, base: str | None, lang: str | None) -> tuple[str, str]:
+        """Parse a node element → (term_type, term_value), emitting quads."""
+        base = elem.get(_XML_BASE, base)
+        lang = elem.get(_XML_LANG, lang)
+        about = elem.get(_RDF + "about")
+        node_id = elem.get(_RDF + "nodeID")
+        rid = elem.get(_RDF + "ID")
+        if about is not None:
+            subj = ("NamedNode", self._resolve(about, base))
+        elif node_id is not None:
+            subj = ("BlankNode", node_id)
+        elif rid is not None:
+            subj = ("NamedNode", self._resolve("#" + rid, base))
+        else:
+            subj = ("BlankNode", self._fresh_bnode())
+
+        uri, local = _split_tag(elem.tag)
+        if uri + local != RDF_NS + "Description":
+            self._emit(subj[0], subj[1], RDF_NS + "type", "NamedNode", uri + local)
+
+        # property attributes on the node element (non-syntax, non-xml)
+        for attr, value in elem.attrib.items():
+            if attr in _SYNTAX_ATTRS or attr.startswith("{" + XML_NS + "}"):
+                continue
+            a_uri, a_local = _split_tag(attr)
+            if a_uri + a_local == RDF_NS + "type":
+                self._emit(subj[0], subj[1], RDF_NS + "type", "NamedNode", self._resolve(value, base))
+            else:
+                self._emit(subj[0], subj[1], a_uri + a_local, "Literal", value, None, lang)
+
+        self.properties(elem, subj, base, lang)
+        return subj
+
+    def properties(self, elem: ET.Element, subj: tuple[str, str], base: str | None, lang: str | None) -> None:
+        li_counter = 0
+        for prop in elem:
+            li_counter = self.property_element(prop, subj, base, lang, li_counter)
+
+    # -- property elements -------------------------------------------------
+
+    def property_element(
+        self,
+        prop: ET.Element,
+        subj: tuple[str, str],
+        base: str | None,
+        lang: str | None,
+        li_counter: int,
+    ) -> int:
+        base = prop.get(_XML_BASE, base)
+        lang = prop.get(_XML_LANG, lang)
+        uri, local = _split_tag(prop.tag)
+        if uri + local == RDF_NS + "li":
+            li_counter += 1
+            pred = f"{RDF_NS}_{li_counter}"
+        else:
+            pred = uri + local
+
+        if prop.get(_RDF + "ID") is not None:
+            raise NotImplementedError(
+                "rdf:ID reification on property elements is not supported"
+            )
+        parse_type = prop.get(_RDF + "parseType")
+        if parse_type is not None and parse_type != "Resource":
+            raise NotImplementedError(
+                f"rdf:parseType={parse_type!r} is not supported (only 'Resource'; "
+                "convert parseType Literal/Collection documents to Turtle/N-Quads)"
+            )
+
+        resource = prop.get(_RDF + "resource")
+        node_id = prop.get(_RDF + "nodeID")
+        datatype = prop.get(_RDF + "datatype")
+        prop_attrs = [
+            (a, v)
+            for a, v in prop.attrib.items()
+            if a not in _SYNTAX_ATTRS and not a.startswith("{" + XML_NS + "}")
+        ]
+        children = list(prop)
+
+        if parse_type == "Resource":
+            obj = ("BlankNode", self._fresh_bnode())
+            self._emit(subj[0], subj[1], pred, obj[0], obj[1])
+            self.properties(prop, obj, base, lang)
+            return li_counter
+        if resource is not None or node_id is not None or (prop_attrs and not children):
+            # object reference (or anonymous bnode carrying property attrs)
+            if resource is not None:
+                obj = ("NamedNode", self._resolve(resource, base))
+            elif node_id is not None:
+                obj = ("BlankNode", node_id)
+            else:
+                obj = ("BlankNode", self._fresh_bnode())
+            self._emit(subj[0], subj[1], pred, obj[0], obj[1])
+            for attr, value in prop_attrs:
+                a_uri, a_local = _split_tag(attr)
+                if a_uri + a_local == RDF_NS + "type":
+                    self._emit(obj[0], obj[1], RDF_NS + "type", "NamedNode", self._resolve(value, base))
+                else:
+                    self._emit(obj[0], obj[1], a_uri + a_local, "Literal", value, None, lang)
+            return li_counter
+        if children:
+            for child in children:  # spec: one node element; tolerate several
+                obj = self.node(child, base, lang)
+                self._emit(subj[0], subj[1], pred, obj[0], obj[1])
+            return li_counter
+        # literal property
+        text = prop.text or ""
+        if datatype is not None:
+            self._emit(subj[0], subj[1], pred, "Literal", text, datatype, None)
+        else:
+            self._emit(subj[0], subj[1], pred, "Literal", text, None, lang)
+        return li_counter
+
+
+def parse_rdfxml(text: str, base_iri: str | None = None) -> list[tuple]:
+    """Parse an RDF/XML document → quad tuples in the engine schema."""
+    root = ET.fromstring(text)
+    p = _Parser(base_iri)
+    base = root.get(_XML_BASE, base_iri)
+    lang = root.get(_XML_LANG)
+    uri, local = _split_tag(root.tag)
+    if uri + local == RDF_NS + "RDF":
+        for child in root:
+            p.node(child, base, lang)
+    else:
+        p.node(root, base, lang)  # single top-level node element
+    return p.quads
+
+
+def read_rdfxml(spark, path: str, base_iri: str | None = None):
+    """``QuadSourceFile`` for ``.rdf``/``.owl`` — driver-parsed (nested XML
+    is not splittable), distributed as rows; ``base_iri`` defaults to the
+    file URI like rdf-parse's ``path`` option."""
+    from rdf_dataset_fragmenter_js_spark.quads import QUAD_SCHEMA
+
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    if base_iri is None:
+        base_iri = "file://" + os.path.abspath(path)
+    rows = parse_rdfxml(text, base_iri=base_iri)
+    df = spark.createDataFrame(rows, QUAD_SCHEMA)
+    target = spark.sparkContext.defaultParallelism
+    if len(rows) > 10 * target:
+        df = df.repartition(target)
+    return df
