@@ -15,7 +15,6 @@ with a targeted message rather than silently mis-parsing.
 
 from __future__ import annotations
 
-import os
 import xml.etree.ElementTree as ET
 
 from rdf_dataset_fragmenter_js_spark.functions.iri import resolve_iri
@@ -55,6 +54,18 @@ class _Parser:
             return iri
         return resolve_iri(iri, base)
 
+    def _scoped(self, elem: ET.Element, base: str | None, lang: str | None):
+        """Apply the element's xml:base / xml:lang to the inherited scope:
+        a RELATIVE xml:base resolves against the in-scope base (XML Base
+        §4.3) and xml:lang='' cancels the inherited language."""
+        b = elem.get(_XML_BASE)
+        if b is not None:
+            base = self._resolve(b, base)
+        lv = elem.get(_XML_LANG)
+        if lv is not None:
+            lang = lv or None
+        return base, lang
+
     def _emit(self, s_type, s, p, o_type, o, dt=None, lang=None):
         self.quads.append((s_type, s, p, o_type, o, dt, lang, None, len(self.quads)))
 
@@ -62,8 +73,7 @@ class _Parser:
 
     def node(self, elem: ET.Element, base: str | None, lang: str | None) -> tuple[str, str]:
         """Parse a node element → (term_type, term_value), emitting quads."""
-        base = elem.get(_XML_BASE, base)
-        lang = elem.get(_XML_LANG, lang)
+        base, lang = self._scoped(elem, base, lang)
         about = elem.get(_RDF + "about")
         node_id = elem.get(_RDF + "nodeID")
         rid = elem.get(_RDF + "ID")
@@ -108,8 +118,7 @@ class _Parser:
         lang: str | None,
         li_counter: int,
     ) -> int:
-        base = prop.get(_XML_BASE, base)
-        lang = prop.get(_XML_LANG, lang)
+        base, lang = self._scoped(prop, base, lang)
         uri, local = _split_tag(prop.tag)
         if uri + local == RDF_NS + "li":
             li_counter += 1
@@ -143,8 +152,15 @@ class _Parser:
             self._emit(subj[0], subj[1], pred, obj[0], obj[1])
             self.properties(prop, obj, base, lang)
             return li_counter
+        has_text = bool(prop.text and prop.text.strip())
         if resource is not None or node_id is not None or (prop_attrs and not children):
             # object reference (or anonymous bnode carrying property attrs)
+            if has_text or children:
+                raise ValueError(
+                    f"property element <{pred}> mixes rdf:resource/rdf:nodeID/"
+                    "property attributes with text or nested elements — "
+                    "not valid RDF/XML (refusing to drop content silently)"
+                )
             if resource is not None:
                 obj = ("NamedNode", self._resolve(resource, base))
             elif node_id is not None:
@@ -160,6 +176,12 @@ class _Parser:
                     self._emit(obj[0], obj[1], a_uri + a_local, "Literal", value, None, lang)
             return li_counter
         if children:
+            if has_text:
+                raise ValueError(
+                    f"property element <{pred}> mixes text with nested node "
+                    "elements (parseType='Literal' XML content is not "
+                    "supported — refusing to drop content silently)"
+                )
             for child in children:  # spec: one node element; tolerate several
                 obj = self.node(child, base, lang)
                 self._emit(subj[0], subj[1], pred, obj[0], obj[1])
@@ -177,8 +199,7 @@ def parse_rdfxml(text: str, base_iri: str | None = None) -> list[tuple]:
     """Parse an RDF/XML document → quad tuples in the engine schema."""
     root = ET.fromstring(text)
     p = _Parser(base_iri)
-    base = root.get(_XML_BASE, base_iri)
-    lang = root.get(_XML_LANG)
+    base, lang = p._scoped(root, base_iri, None)
     uri, local = _split_tag(root.tag)
     if uri + local == RDF_NS + "RDF":
         for child in root:
@@ -190,17 +211,16 @@ def parse_rdfxml(text: str, base_iri: str | None = None) -> list[tuple]:
 
 def read_rdfxml(spark, path: str, base_iri: str | None = None):
     """``QuadSourceFile`` for ``.rdf``/``.owl`` — driver-parsed (nested XML
-    is not splittable), distributed as rows; ``base_iri`` defaults to the
-    file URI like rdf-parse's ``path`` option."""
-    from rdf_dataset_fragmenter_js_spark.quads import QUAD_SCHEMA
+    is not splittable), distributed as rows; accepts a file, glob, or
+    directory. ``base_iri`` defaults per file to its URI like rdf-parse's
+    ``path`` option."""
+    from rdf_dataset_fragmenter_js_spark.sources.driverfile import read_driver_parsed
 
-    with open(path, encoding="utf-8") as f:
-        text = f.read()
-    if base_iri is None:
-        base_iri = "file://" + os.path.abspath(path)
-    rows = parse_rdfxml(text, base_iri=base_iri)
-    df = spark.createDataFrame(rows, QUAD_SCHEMA)
-    target = spark.sparkContext.defaultParallelism
-    if len(rows) > 10 * target:
-        df = df.repartition(target)
-    return df
+    return read_driver_parsed(
+        spark,
+        path,
+        (".rdf", ".owl", ".rdfxml"),
+        base_iri,
+        lambda text, base: parse_rdfxml(text, base_iri=base),
+        "read_rdfxml",
+    )

@@ -21,19 +21,12 @@ active base (RFC 3986, the same resolver as the engine's column path).
 
 from __future__ import annotations
 
-import logging
-import os
 import re
 
 from rdf_dataset_fragmenter_js_spark.functions.iri import resolve_iri
 
-logger = logging.getLogger(__name__)
-
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 XSD = "http://www.w3.org/2001/XMLSchema#"
-
-#: parse warning threshold — Turtle parses on the driver
-LARGE_FILE_BYTES = 128 * 1024 * 1024
 
 _IRIREF = re.compile(r'<([^<>"{}|^`\\\x00-\x20]*)>')
 _BNODE = re.compile(r"_:([A-Za-z0-9_][A-Za-z0-9_.\-]*)")
@@ -403,25 +396,16 @@ def parse_turtle(text: str, base_iri: str | None = None) -> list[tuple]:
 
 def read_turtle(spark, path: str, base_iri: str | None = None):
     """``QuadSourceFile`` for ``.ttl`` — driver-parsed (Turtle is not
-    line-splittable), distributed as rows. ``base_iri`` defaults to the
-    file's URI, like rdf-parse's ``path`` option."""
-    from rdf_dataset_fragmenter_js_spark.quads import QUAD_SCHEMA
+    line-splittable), distributed as rows; accepts a file, glob, or
+    directory. ``base_iri`` defaults per file to its URI, like rdf-parse's
+    ``path`` option."""
+    from rdf_dataset_fragmenter_js_spark.sources.driverfile import read_driver_parsed
 
-    size = os.path.getsize(path)
-    if size > LARGE_FILE_BYTES:
-        logger.warning(
-            "read_turtle: %s is %d MB and parses on the driver — convert "
-            "large inputs to N-Quads for splittable, vectorized reads",
-            path,
-            size >> 20,
-        )
-    with open(path, encoding="utf-8") as f:
-        text = f.read()
-    if base_iri is None:
-        base_iri = "file://" + os.path.abspath(path)
-    rows = parse_turtle(text, base_iri=base_iri)
-    df = spark.createDataFrame(rows, QUAD_SCHEMA)
-    target = spark.sparkContext.defaultParallelism
-    if len(rows) > 10 * target:
-        df = df.repartition(target)
-    return df
+    return read_driver_parsed(
+        spark,
+        path,
+        (".ttl", ".turtle"),
+        base_iri,
+        lambda text, base: parse_turtle(text, base_iri=base),
+        "read_turtle",
+    )

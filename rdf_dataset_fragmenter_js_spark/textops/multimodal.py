@@ -132,6 +132,8 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt_tag, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
             if fmt_tag != 1:
@@ -191,7 +193,13 @@ DECODERS = {"image": _decode_image, "audio": _decode_audio, "video": _decode_vid
 def extract_features(media: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame:
     """Decode + featurize media rows in Arrow batches. Partitions are sized
     by byte budget upstream (see :func:`repartition_by_bytes`) so one task
-    never holds more than ``batch_bytes`` of payloads."""
+    never holds more than ``batch_bytes`` of payloads.
+
+    Rows whose payload fails to decode (corrupt/unknown bytes — ValueError
+    from the codecs) are SKIPPED like unsupported modalities: a web-scale
+    media crawl always contains malformed files, and one bad payload must
+    not fail the stage. Quarantine by anti-joining the output ids against
+    the input when the dropped set matters."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -202,8 +210,8 @@ def extract_features(media: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame
                     continue
                 try:
                     vec = decoder(bytes(payload))
-                except NotImplementedError:
-                    continue  # unsupported modality in this container
+                except (NotImplementedError, ValueError, struct.error):
+                    continue  # unsupported modality or undecodable payload
                 feats.append(vec.tolist())
                 ids.append(mid)
                 kinds.append(kind)

@@ -102,3 +102,43 @@ def test_rdfxml_config_end_to_end(spark, tmp_path):
     }
     got = [(r.doc, r.s, r.p, r.o) for r in compile_pipeline(spark, spec).collect()]
     assert got == [(E + "a", E + "a", E + "p", E + "b")]
+
+
+def test_rdfxml_scoped_base_and_lang_reset():
+    """Review regressions: a RELATIVE xml:base resolves against the
+    in-scope base (XML Base §4.3); xml:lang='' cancels inheritance; mixed
+    resource/text content fails fast instead of dropping triples."""
+    quads = parse_rdfxml(
+        f'<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:ex="{E}" xml:base="http://b.org/data/" xml:lang="en">'
+        f'<rdf:Description xml:base="items/" rdf:about="i1">'
+        f'<ex:p rdf:resource="j2"/>'
+        '<ex:name xml:lang="">plain</ex:name>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    vals = {(q[1], q[2], q[4], q[6]) for q in quads}
+    assert ("http://b.org/data/items/i1", E + "p", "http://b.org/data/items/j2", None) in vals
+    name = [q for q in quads if q[2] == E + "name"]
+    assert name[0][6] is None  # xml:lang="" resets; no empty-string tag
+
+    with pytest.raises(ValueError, match="mixes"):
+        parse_rdfxml(
+            f'<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:ex="{E}">'
+            f'<rdf:Description rdf:about="{E}a"><ex:p rdf:resource="{E}x">text</ex:p></rdf:Description>'
+            "</rdf:RDF>"
+        )
+
+
+def test_driver_sources_accept_globs_and_dirs(spark, tmp_path):
+    """read_turtle/read_rdfxml accept globs and directories like the
+    N-Quads reader (review finding), with seq re-indexed across files."""
+    d = tmp_path / "ttls"
+    d.mkdir()
+    (d / "a.ttl").write_text("<http://s1> <http://p> <http://o> .")
+    (d / "b.ttl").write_text("<http://s2> <http://p> <http://o> .")
+    rows = read_rdf(spark, str(d / "*.ttl")).collect()
+    assert {r.s for r in rows} == {"http://s1", "http://s2"}
+    assert len({r.seq for r in rows}) == 2  # re-indexed, not colliding
+
+    from rdf_dataset_fragmenter_js_spark.sources.turtle import read_turtle
+
+    assert read_turtle(spark, str(d)).count() == 2  # directory expansion
