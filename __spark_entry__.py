@@ -220,10 +220,11 @@ def q_transform_solid_type_index(spark, sf_dir):
 
 
 def q_matcher_term_value(spark, sf_dir):
-    """Deterministic probability sampling via bit-exact imurmurhash — the
-    hash is not expressible in DuckDB SQL, so this entry is rows-only; the
-    hash itself is golden-tested against reference fixture values in
-    tests/ (QuadMatcherTermValue-test.ts parity)."""
+    """Deterministic probability sampling via bit-exact imurmurhash,
+    oracle-checked against a recursive-CTE MurmurHash3 implementation in
+    DuckDB SQL (_matcher_term_value_oracle); the hash is additionally
+    golden-tested against reference fixture values in tests/
+    (QuadMatcherTermValue-test.ts parity)."""
     from rdf_dataset_fragmenter_js_spark.operators.matchers import match_term_value
 
     quads = TD.order_quads(spark, sf_dir)
@@ -404,10 +405,11 @@ def q_summary_void_classes(spark, sf_dir):
 
 
 def q_summary_bloom(spark, sf_dir):
-    """Bloom membership summaries — bloem-compatible FNV double-hashing and
-    imurmurhash fragment IRIs are not expressible in DuckDB SQL (rows-only
-    here); the bitfields and IRIs are golden-tested against reference
-    fixture values in tests/test_summaries.py."""
+    """Bloom membership summaries — bloem-compatible FNV double-hashing,
+    LSB-first bitfields + base64, and imurmurhash fragment IRIs, all
+    oracle-checked against recursive-CTE FNV-1a/MurmurHash3 DuckDB SQL
+    (_summary_bloom_oracle); the bitfields are additionally golden-tested
+    in tests/test_summaries.py."""
     from rdf_dataset_fragmenter_js_spark.strategies.summaries import bloom_summary
 
     quads = assign_datasets(TD.pod_quads(spark, sf_dir), [POD_PATTERN])
@@ -789,9 +791,184 @@ def _entity_link_oracle() -> str:
     """
 
 
+_M32 = 4294967295
+
+
+def _mul32_sql(a: str, b: int) -> str:
+    """32-bit wrapping multiply in DuckDB (HUGEINT avoids INT64 overflow of
+    two 32-bit factors)."""
+    return f"CAST((CAST({a} AS HUGEINT) * {b}) % 4294967296 AS BIGINT)"
+
+
+def _murmur_ctes(src: str) -> str:
+    """CTE chain computing imurmurhash (MurmurHash3 x86-32, seed 0, JS
+    code-unit packing — equals byte packing for the ASCII gate corpus) over
+    the distinct strings in CTE ``src(v)``; exposes ``murmur(v, h)``.
+    Verified value-identical to functions/hashing.imurmurhash over random
+    printable strings of every tail length (tests/test_properties.py)."""
+    k1m = _mul32_sql("(cs[4*i+1] + cs[4*i+2]*256 + cs[4*i+3]*65536 + cs[4*i+4]*16777216)", 3432918353)
+    k1r = f"(((k1m << 15) | (k1m >> 17)) & {_M32})"
+    ktm = _mul32_sql("kt", 3432918353)
+    ktr = f"((({ktm} << 15) | ({ktm} >> 17)) & {_M32})"
+    return f"""
+        mm_chars AS (
+          SELECT v, length(v) AS n,
+                 list_transform(range(1, length(v)+1), c -> ord(substr(v, c, 1))) AS cs
+          FROM {src}
+        ),
+        mm_iter AS (
+          SELECT v, n, cs, 0 AS i, CAST(0 AS BIGINT) AS h1 FROM mm_chars
+          UNION ALL
+          SELECT v, n, cs, i + 1,
+                 ((((((xh << 13) | (xh >> 19)) & {_M32}) * 5) + 3864292196) & {_M32}) AS h1
+          FROM (
+            SELECT v, n, cs, i, xor(h1, {_mul32_sql(k1r, 461845907)}) AS xh
+            FROM (
+              SELECT v, n, cs, i, h1, {k1m} AS k1m
+              FROM mm_iter WHERE i < n // 4
+            )
+          )
+        ),
+        mm_tail AS (
+          SELECT v, n, h1,
+            (CASE WHEN n % 4 >= 1 THEN cs[4*(n//4)+1] ELSE 0 END
+             + CASE WHEN n % 4 >= 2 THEN cs[4*(n//4)+2]*256 ELSE 0 END
+             + CASE WHEN n % 4 = 3 THEN cs[4*(n//4)+3]*65536 ELSE 0 END) AS kt
+          FROM mm_iter WHERE i = n // 4
+        ),
+        mm_mix AS (
+          SELECT v, n,
+            CASE WHEN kt > 0 THEN xor(h1, {_mul32_sql(ktr, 461845907)})
+                 ELSE h1 END AS h
+          FROM mm_tail
+        ),
+        mm_f1 AS (SELECT v, xor(h, n) AS h FROM mm_mix),
+        mm_f2 AS (SELECT v, xor(h, h >> 16) AS h FROM mm_f1),
+        mm_f3 AS (SELECT v, {_mul32_sql('h', 2246822507)} AS h FROM mm_f2),
+        mm_f4 AS (SELECT v, xor(h, h >> 13) AS h FROM mm_f3),
+        mm_f5 AS (SELECT v, {_mul32_sql('h', 3266489909)} AS h FROM mm_f4),
+        murmur AS (SELECT v, xor(h, h >> 16) AS h FROM mm_f5)"""
+
+
+def _matcher_term_value_oracle() -> str:
+    """QuadMatcherTermValue sampling: murmur(group1)/4294967295 <= 0.5 —
+    the integer-exact equivalent is h <= 2147483647 (the nearest doubles to
+    h/4294967295 are >1e-10 away from 0.5, so the float comparison in
+    Spark and this integer comparison agree for every h)."""
+    return f"""
+        WITH RECURSIVE quads AS ({_ORDER_QUADS}),
+        matched AS (
+          SELECT s, p, o_type, o, regexp_extract(s, 'order/([0-9]+)$', 1) AS v
+          FROM quads
+          WHERE regexp_matches(s, 'order/([0-9]+)$')
+        ),
+        vals AS (SELECT DISTINCT v FROM matched),
+        {_murmur_ctes('vals')}
+        SELECT m.s, m.p, m.o_type, m.o
+        FROM matched m JOIN murmur mu ON m.v = mu.v
+        WHERE mu.h <= 2147483647
+    """
+
+
+def _summary_bloom_oracle() -> str:
+    """DatasetSummaryBloom: bloem FNV-1a double hashing (seeds b'S'/b'W'
+    folded per byte), LSB-first 64-bit bitfields, base64, and murmur-hex
+    fragment IRIs — all in one DuckDB statement."""
+    from rdf_dataset_fragmenter_js_spark.functions.hashing import _fnv1a32
+    from rdf_dataset_fragmenter_js_spark.strategies.summaries import MEM
+
+    rdf_type = RDF_TYPE
+    hs0, hw0 = _fnv1a32(b"S"), _fnv1a32(b"W")
+    byte_hex = " || ".join(
+        f"lpad(format('{{:x}}', COALESCE(bit_or(CASE WHEN pos // 8 = {j} "
+        f"THEN (1 << (pos % 8)) END), 0)), 2, '0')"
+        for j in range(8)
+    )
+    pat = r"^(http://ex\.org/pods/[0-9]+/)"
+    return f"""
+        WITH RECURSIVE quads AS ({_POD_QUADS}),
+        dq AS (
+          SELECT regexp_extract(s, '{pat}', 1) AS dataset, *
+          FROM quads WHERE regexp_matches(s, '{pat}')
+        ),
+        proj AS (
+          SELECT dataset, 'resource' AS kind, s AS key, p AS member FROM dq
+          UNION ALL SELECT dataset, 'property', p, s FROM dq
+          UNION ALL SELECT dataset, 'resource', s, o FROM dq WHERE o_type = 'NamedNode'
+          UNION ALL SELECT dataset, 'resource', o, s FROM dq WHERE o_type = 'NamedNode'
+          UNION ALL SELECT dataset, 'property', p, o FROM dq WHERE o_type = 'NamedNode'
+          UNION ALL SELECT dataset, 'resource', o, p FROM dq WHERE o_type = 'NamedNode'
+        ),
+        members AS (SELECT DISTINCT member AS v FROM proj),
+        f_iter AS (
+          SELECT v, length(v) AS n, 0 AS i,
+                 CAST({hs0} AS BIGINT) AS hs, CAST({hw0} AS BIGINT) AS hw
+          FROM members
+          UNION ALL
+          SELECT v, n, i + 1,
+                 ((xor(hs, ord(substr(v, i+1, 1))) * 16777619) & {_M32}),
+                 ((xor(hw, ord(substr(v, i+1, 1))) * 16777619) & {_M32})
+          FROM f_iter WHERE i < n
+        ),
+        fnv AS (SELECT v, hs, hw FROM f_iter WHERE i = n),
+        positions AS (
+          SELECT v, hs % 64 AS pos FROM fnv
+          UNION SELECT v, (hs + hw) % 64 FROM fnv
+        ),
+        groups AS (
+          SELECT p.dataset, p.kind, p.key, {byte_hex} AS hex
+          FROM (SELECT DISTINCT dataset, kind, key, pos
+                FROM proj JOIN positions ON proj.member = positions.v) p
+          GROUP BY p.dataset, p.kind, p.key
+        ),
+        g2 AS (
+          SELECT dataset, kind, key, to_base64(unhex(hex)) AS b64,
+                 dataset AS location,
+                 CASE WHEN kind = 'property' THEN '{MEM}projectedProperty'
+                      ELSE '{MEM}projectedResource' END AS projection
+          FROM groups
+        ),
+        vals AS (
+          SELECT DISTINCT dataset || '{MEM}HashFunction' AS v FROM g2
+          UNION SELECT DISTINCT dataset || '{MEM}MemberCollection' || projection || key FROM g2
+          UNION SELECT DISTINCT dataset || '{MEM}BloomFilter' || projection || key FROM g2
+        ),
+        {_murmur_ctes('vals')},
+        g3 AS (
+          SELECT g2.*,
+                 location || '#' || format('{{:x}}', mh.h) AS hf
+          FROM g2 JOIN murmur mh ON mh.v = g2.dataset || '{MEM}HashFunction'
+        ),
+        g4 AS (
+          SELECT g3.*,
+                 location || '#' || format('{{:x}}', mc.h) AS coll,
+                 location || '#' || format('{{:x}}', mb.h) AS filt
+          FROM g3
+          JOIN murmur mc ON mc.v = g3.dataset || '{MEM}MemberCollection' || g3.projection || g3.key
+          JOIN murmur mb ON mb.v = g3.dataset || '{MEM}BloomFilter' || g3.projection || g3.key
+        ),
+        per_dataset AS (SELECT DISTINCT dataset, location, hf FROM g4)
+        SELECT location AS doc, hf AS s, '{rdf_type}' AS p, 'NamedNode' AS o_type, '{MEM}HashFunction' AS o FROM per_dataset
+        UNION ALL SELECT location, hf, '{rdf_type}', 'NamedNode', '{MEM}FowlerNollVo' FROM per_dataset
+        UNION ALL SELECT location, hf, '{MEM}hashSize', 'Literal', '2' FROM per_dataset
+        UNION ALL SELECT location, coll, '{rdf_type}', 'NamedNode', '{MEM}MemberCollection' FROM g4
+        UNION ALL SELECT location, coll, '{MEM}sourceCollection', 'NamedNode', dataset FROM g4
+        UNION ALL SELECT location, coll, projection, 'NamedNode', key FROM g4
+        UNION ALL SELECT location, filt, '{rdf_type}', 'NamedNode', '{MEM}MembershipFunction' FROM g4
+        UNION ALL SELECT location, filt, '{rdf_type}', 'NamedNode', '{MEM}ApproximateMembershipFunction' FROM g4
+        UNION ALL SELECT location, filt, '{rdf_type}', 'NamedNode', '{MEM}BloomFilter' FROM g4
+        UNION ALL SELECT location, filt, '{MEM}hashFunction', 'NamedNode', hf FROM g4
+        UNION ALL SELECT location, filt, '{MEM}memberCollection', 'NamedNode', coll FROM g4
+        UNION ALL SELECT location, filt, '{MEM}bitSize', 'Literal', '64' FROM g4
+        UNION ALL SELECT location, filt, '{MEM}binaryRepresentation', 'Literal', b64 FROM g4
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_entity_link": _entity_link_oracle(),
+        "matcher_term_value": _matcher_term_value_oracle(),
+        "summary_bloom": _summary_bloom_oracle(),
         "frag_subject": f"""
             WITH quads AS ({_ORDER_QUADS})
             SELECT s AS doc, s_type, s, p, o_type, o FROM quads

@@ -1,6 +1,31 @@
-"""Shared tail for the driver-parsed sources (Turtle, RDF/XML): glob/dir
-expansion, the driver-parse size guard, per-file parsing with a running
-``seq`` offset, and distribution of the parsed rows."""
+"""Shared tail for the non-splittable RDF formats (Turtle, RDF/XML,
+JSON-LD): glob/dir expansion, driver parse for a single file, and a
+DISTRIBUTED per-file parse for globs/directories.
+
+A single Turtle/RDF-XML document cannot be split mid-file (prefix state,
+nested elements), but a *set* of files is embarrassingly parallel: each
+file is independently parseable. So:
+
+* one matched file → parse on the driver (a config-sized ontology; no
+  cluster round-trip for a 40 kB vocabulary);
+* many matched files → ship file contents to executors via
+  ``wholeTextFiles`` (Hadoop FS API — works for local paths, HDFS, s3a)
+  and flatMap the same pure ``parse_fn`` over them, so parse wall-time
+  drops with parallelism instead of serializing through one driver
+  process.
+
+Blank-node scoping: labels are DOCUMENT-scoped in RDF, so the multi-file
+path namespaces every blank-node label (generated or document-authored)
+with ``f{file_index}_`` — otherwise ``_:b0`` in two files (or two parsers'
+generated counters restarting at 1) would silently merge distinct
+anonymous resources, corrupting ownership closures. Mirrors the
+reference's per-parser unique bnode prefixes (rdf-parse wraps N3/rdfxml
+parsers that each namespace their blank nodes).
+
+``seq`` stays dense and file-major (arrival order of the sorted file
+list), computed from per-file quad counts — identical to the serial
+driver loop's numbering, so both paths produce the same rows.
+"""
 
 from __future__ import annotations
 
@@ -11,8 +36,10 @@ from collections.abc import Callable
 
 logger = logging.getLogger(__name__)
 
-#: parse warning threshold — these formats parse on the driver
+#: parse warning threshold — a single file above this parses on the driver
 LARGE_FILE_BYTES = 128 * 1024 * 1024
+
+_BNODE_TYPE = "BlankNode"
 
 
 def expand_paths(path: str, extensions: tuple[str, ...]) -> list[str]:
@@ -34,6 +61,39 @@ def expand_paths(path: str, extensions: tuple[str, ...]) -> list[str]:
     return files
 
 
+def _parse_file_rows(
+    text: str,
+    base_iri: str | None,
+    file_path: str,
+    parse_fn: Callable[[str, str], list[tuple]],
+    bnode_prefix: str | None,
+) -> list[tuple]:
+    """Parse one document → quad tuples (seq local to the file), with all
+    blank-node labels namespaced by ``bnode_prefix`` when given."""
+    base = base_iri if base_iri is not None else "file://" + os.path.abspath(file_path)
+    rows = parse_fn(text, base)
+    if bnode_prefix is None:
+        return rows
+    out = []
+    for s_type, s, p, o_type, o, dt, lang, g, seq in rows:
+        if s_type == _BNODE_TYPE:
+            s = bnode_prefix + s
+        if o_type == _BNODE_TYPE:
+            o = bnode_prefix + o
+        out.append((s_type, s, p, o_type, o, dt, lang, g, seq))
+    return out
+
+
+def _strip_file_scheme(uri: str) -> str:
+    """``wholeTextFiles`` keys are Hadoop URIs (``file:/abs/path``); map
+    back to a plain path for local files, pass others through."""
+    if uri.startswith("file:"):
+        uri = uri[len("file:") :]
+        while uri.startswith("//"):
+            uri = uri[1:]
+    return uri
+
+
 def read_driver_parsed(
     spark,
     path: str,
@@ -42,15 +102,19 @@ def read_driver_parsed(
     parse_fn: Callable[[str, str], list[tuple]],
     format_name: str,
 ):
-    """Read + parse each matched file on the driver (``parse_fn(text,
-    base_iri) -> quad tuples``) and distribute the rows. ``base_iri``
-    defaults per file to its file URI, like rdf-parse's ``path`` option."""
+    """Read + parse the matched files (``parse_fn(text, base_iri) -> quad
+    tuples``). One file: driver-parsed. Several: distributed per-file parse
+    on executors. ``base_iri`` defaults per file to its file URI, like
+    rdf-parse's ``path`` option."""
     from rdf_dataset_fragmenter_js_spark.quads import QUAD_SCHEMA
 
-    rows: list[tuple] = []
-    for file_path in expand_paths(path, extensions):
-        size = os.path.getsize(file_path)
-        if size > LARGE_FILE_BYTES:
+    files = expand_paths(path, extensions)
+    for file_path in files:
+        try:
+            size = os.path.getsize(file_path)
+        except OSError:
+            continue
+        if size > LARGE_FILE_BYTES and len(files) == 1:
             logger.warning(
                 "%s: %s is %d MB and parses on the driver — convert large "
                 "inputs to N-Quads for splittable, vectorized reads",
@@ -58,15 +122,67 @@ def read_driver_parsed(
                 file_path,
                 size >> 20,
             )
-        with open(file_path, encoding="utf-8") as f:
+    if len(files) == 1:
+        with open(files[0], encoding="utf-8") as f:
             text = f.read()
-        base = base_iri if base_iri is not None else "file://" + os.path.abspath(file_path)
-        offset = len(rows)
-        for q in parse_fn(text, base):
-            # re-index seq across files (source arrival order)
-            rows.append(q[:-1] + (offset + q[-1],))
-    df = spark.createDataFrame(rows, QUAD_SCHEMA)
-    target = spark.sparkContext.defaultParallelism
-    if len(rows) > 10 * target:
-        df = df.repartition(target)
-    return df
+        rows = _parse_file_rows(text, base_iri, files[0], parse_fn, None)
+        df = spark.createDataFrame(rows, QUAD_SCHEMA)
+        target = spark.sparkContext.defaultParallelism
+        if len(rows) > 10 * target:
+            df = df.repartition(target)
+        return df
+    return _read_distributed(spark, files, base_iri, parse_fn, format_name)
+
+
+def _read_distributed(spark, files, base_iri, parse_fn, format_name):
+    """Per-file parse on executors; dense file-major ``seq``."""
+    from pyspark.sql import functions as F
+
+    from rdf_dataset_fragmenter_js_spark.quads import QUAD_SCHEMA
+
+    sc = spark.sparkContext
+    index_of = {os.path.abspath(f): i for i, f in enumerate(files)}
+    n_files = len(files)
+    bc = sc.broadcast((index_of, base_iri))
+
+    def parse_record(rec):
+        uri, text = rec
+        local_path = _strip_file_scheme(uri)
+        idx_map, base = bc.value
+        idx = idx_map.get(os.path.abspath(local_path))
+        if idx is None:
+            raise ValueError(
+                f"{format_name}: wholeTextFiles returned unexpected path {uri!r}"
+            )
+        rows = _parse_file_rows(text, base, local_path, parse_fn, f"f{idx}_")
+        return [(idx,) + r for r in rows]
+
+    rdd = sc.wholeTextFiles(
+        ",".join(files), minPartitions=min(n_files, sc.defaultParallelism)
+    ).flatMap(parse_record)
+    parsed = spark.createDataFrame(
+        rdd, "file_idx int, " + ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in QUAD_SCHEMA)
+    ).localCheckpoint(eager=True)  # parse exactly once (offsets pass + projection)
+    # Dense file-major seq: offset each file by the quad counts before it.
+    counts = {
+        r["file_idx"]: r["cnt"]
+        for r in parsed.groupBy("file_idx").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, running = {}, 0
+    for i in range(n_files):
+        offsets[i] = running
+        running += counts.get(i, 0)
+    offset_map = F.create_map(
+        *[F.lit(x) for i in range(n_files) for x in (i, offsets[i])]
+    )
+    return parsed.select(
+        "s_type",
+        "s",
+        "p",
+        "o_type",
+        "o",
+        "o_datatype",
+        "o_lang",
+        "g",
+        (F.col("seq") + offset_map[F.col("file_idx")]).cast("long").alias("seq"),
+    )

@@ -1,0 +1,346 @@
+"""JSON-LD source (``lib/io/QuadSourceFile.ts:19-25`` delegates ``.jsonld``
+to rdf-parse, which routes it to jsonld-streaming-parser). Driver/executor
+per-file parsing like the Turtle and RDF/XML sources (a JSON document is
+not line-splittable), built on stdlib ``json``.
+
+Coverage — the JSON-LD 1.0 core that appears in real data documents:
+
+* expanded form (``@id`` / ``@type`` / ``@value`` / ``@language`` /
+  ``@list`` / ``@graph`` objects and arrays);
+* compacted form with an INLINE ``@context``: term → IRI mappings,
+  compact IRIs (``prefix:suffix``), expanded term definitions with
+  ``@id`` / ``@type`` (coercion, incl. ``@id``) / ``@container``
+  (``@list`` / ``@set``), ``@vocab``, ``@base``, ``@language``, and
+  array-of-contexts;
+* top-level / named ``@graph`` (quads carry the graph IRI);
+* blank nodes via ``_:label`` identifiers and fresh labels for
+  anonymous nodes (PN_CHARS-only, namespaced per file by
+  ``sources/driverfile.py`` for multi-file reads);
+* JSON literals: numbers → ``xsd:integer`` / ``xsd:double`` (canonical
+  exponent form per the JSON-LD toRDF algorithm), booleans →
+  ``xsd:boolean``.
+
+Exotic features fail fast with a targeted message instead of silently
+mis-parsing: REMOTE contexts (a context URL — the engine does no network
+I/O), ``@reverse``, ``@nest``, ``@included``, ``@json`` literals,
+container maps (``@index``/``@language``/``@id``/``@type`` containers),
+and framing documents.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_KEYWORDS = {
+    "@id", "@type", "@value", "@language", "@list", "@set", "@graph",
+    "@context", "@base", "@vocab", "@index",
+}
+_UNSUPPORTED_KEYS = {"@reverse", "@nest", "@included", "@direction", "@version"}
+_ABSOLUTE_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def _canonical_double(x: float) -> str:
+    """JSON-LD toRDF canonical xsd:double lexical form (XSD canonical:
+    one nonzero digit, mantissa, 'E', exponent)."""
+    if math.isinf(x) or math.isnan(x):
+        return "INF" if x > 0 else ("-INF" if x < 0 else "NaN")
+    m = f"{x:.15E}"
+    mant, exp = m.split("E")
+    mant = mant.rstrip("0")
+    if mant.endswith("."):
+        mant += "0"
+    return f"{mant}E{int(exp)}"
+
+
+class _Context:
+    __slots__ = ("terms", "vocab", "base", "language")
+
+    def __init__(self, terms=None, vocab=None, base=None, language=None):
+        self.terms = dict(terms or {})
+        self.vocab = vocab
+        self.base = base
+        self.language = language
+
+    def child(self):
+        return _Context(self.terms, self.vocab, self.base, self.language)
+
+
+class _Parser:
+    def __init__(self, base_iri: str | None):
+        self.base_iri = base_iri
+        self.quads: list[tuple] = []
+        self._bnode_n = 0
+        self._bnode_map: dict[str, str] = {}
+
+    def _fresh_bnode(self) -> str:
+        self._bnode_n += 1
+        return f"genid_jsonld_{self._bnode_n}"
+
+    def _emit(self, s_type, s, p, o_type, o, dt=None, lang=None, g=None):
+        self.quads.append((s_type, s, p, o_type, o, dt, lang, g, len(self.quads)))
+
+    # -- context ----------------------------------------------------------
+
+    def parse_context(self, ctx_json, ctx: _Context) -> _Context:
+        if ctx_json is None:
+            return _Context(base=ctx.base)  # null context resets
+        if isinstance(ctx_json, list):
+            for part in ctx_json:
+                ctx = self.parse_context(part, ctx)
+            return ctx
+        if isinstance(ctx_json, str):
+            raise NotImplementedError(
+                f"remote @context {ctx_json!r} is not supported (the engine "
+                "does no network I/O) — inline the context"
+            )
+        if not isinstance(ctx_json, dict):
+            raise ValueError(f"invalid @context: {ctx_json!r}")
+        out = ctx.child()
+        if "@base" in ctx_json:
+            b = ctx_json["@base"]
+            out.base = self._expand_iri(b, out, vocab=False) if b else None
+        if "@vocab" in ctx_json:
+            out.vocab = ctx_json["@vocab"]
+        if "@language" in ctx_json:
+            out.language = ctx_json["@language"]
+        # two passes so compact-IRI term values can reference sibling terms
+        for _ in range(2):
+            for term, definition in ctx_json.items():
+                if term.startswith("@"):
+                    if term not in ("@base", "@vocab", "@language"):
+                        raise NotImplementedError(
+                            f"@context keyword {term!r} is not supported"
+                        )
+                    continue
+                if isinstance(definition, str):
+                    out.terms[term] = {"@id": self._expand_iri(definition, out, vocab=True)}
+                elif isinstance(definition, dict):
+                    bad = set(definition) - {"@id", "@type", "@container", "@language"}
+                    if bad:
+                        raise NotImplementedError(
+                            f"term definition keys {sorted(bad)} are not supported"
+                        )
+                    container = definition.get("@container")
+                    if container not in (None, "@list", "@set"):
+                        raise NotImplementedError(
+                            f"@container {container!r} is not supported "
+                            "(only @list/@set; index/language/id/type maps "
+                            "need full expansion)"
+                        )
+                    d = {
+                        "@id": self._expand_iri(
+                            definition.get("@id", term), out, vocab=True
+                        )
+                    }
+                    if "@type" in definition:
+                        t = definition["@type"]
+                        if t == "@json":
+                            raise NotImplementedError("@json literals are not supported")
+                        d["@type"] = t if t == "@id" else self._expand_iri(t, out, vocab=True)
+                    if container:
+                        d["@container"] = container
+                    if "@language" in definition:
+                        d["@language"] = definition["@language"]
+                    out.terms[term] = d
+                elif definition is None:
+                    out.terms.pop(term, None)
+                else:
+                    raise ValueError(f"invalid term definition for {term!r}")
+        return out
+
+    # -- IRI expansion -----------------------------------------------------
+
+    def _expand_iri(self, value: str, ctx: _Context, vocab: bool) -> str:
+        if value.startswith("@"):
+            return value
+        if value.startswith("_:"):
+            return value
+        if vocab and value in ctx.terms:
+            return ctx.terms[value]["@id"]
+        if ":" in value:
+            prefix, suffix = value.split(":", 1)
+            if not suffix.startswith("//") and prefix in ctx.terms:
+                return ctx.terms[prefix]["@id"] + suffix
+            if _ABSOLUTE_IRI.match(value):
+                return value
+        if vocab and ctx.vocab:
+            return ctx.vocab + value
+        base = ctx.base if ctx.base is not None else self.base_iri
+        if base is not None:
+            from rdf_dataset_fragmenter_js_spark.functions.iri import resolve_iri
+
+            return resolve_iri(value, base)
+        return value
+
+    def _subject_term(self, identifier: str | None, ctx: _Context) -> tuple[str, str]:
+        if identifier is None:
+            return ("BlankNode", self._fresh_bnode())
+        if identifier.startswith("_:"):
+            label = identifier[2:]
+            # relabel to PN_CHARS-safe, collision-free space shared with
+            # generated labels
+            return ("BlankNode", self._bnode_map.setdefault(label, f"b_{label}"))
+        return ("NamedNode", self._expand_iri(identifier, ctx, vocab=False))
+
+    # -- node processing ---------------------------------------------------
+
+    def process_document(self, doc) -> None:
+        if isinstance(doc, list):
+            for item in doc:
+                self.process_document(item)
+            return
+        if not isinstance(doc, dict):
+            raise ValueError(f"JSON-LD document must be object/array, got {type(doc).__name__}")
+        ctx = self.parse_context(doc.get("@context"), _Context())
+        if "@graph" in doc and not any(
+            k for k in doc if k not in ("@context", "@graph", "@id")
+        ):
+            graph_iri = None
+            if "@id" in doc:
+                g_type, g_val = self._subject_term(doc["@id"], ctx)
+                graph_iri = g_val if g_type == "NamedNode" else None
+            nodes = doc["@graph"]
+            for node in nodes if isinstance(nodes, list) else [nodes]:
+                self.node(node, ctx, graph_iri)
+            return
+        self.node(doc, ctx, None)
+
+    def node(self, obj: dict, ctx: _Context, graph: str | None) -> tuple[str, str]:
+        if not isinstance(obj, dict):
+            raise ValueError(f"expected node object, got {obj!r}")
+        unsupported = _UNSUPPORTED_KEYS & set(obj)
+        if unsupported:
+            raise NotImplementedError(
+                f"JSON-LD keywords {sorted(unsupported)} are not supported"
+            )
+        if "@context" in obj:
+            ctx = self.parse_context(obj["@context"], ctx)
+        subj = self._subject_term(obj.get("@id"), ctx)
+
+        types = obj.get("@type", [])
+        for t in types if isinstance(types, list) else [types]:
+            self._emit(
+                subj[0], subj[1], RDF_NS + "type",
+                "NamedNode", self._expand_iri(t, ctx, vocab=True), g=graph,
+            )
+
+        for key, raw in obj.items():
+            if key in _KEYWORDS or key.startswith("@"):
+                if key == "@graph":  # named graph nested under a node @id
+                    inner = raw if isinstance(raw, list) else [raw]
+                    g = subj[1] if subj[0] == "NamedNode" else None
+                    for n in inner:
+                        self.node(n, ctx, g)
+                continue
+            term_def = ctx.terms.get(key, {})
+            pred = term_def.get("@id") if key in ctx.terms else self._expand_iri(key, ctx, vocab=True)
+            if not (_ABSOLUTE_IRI.match(pred) or pred.startswith("_:")):
+                continue  # term does not expand to an IRI → dropped (spec)
+            values = raw if isinstance(raw, list) else [raw]
+            if term_def.get("@container") == "@list":
+                self._emit_list(subj, pred, values, term_def, ctx, graph)
+                continue
+            for value in values:
+                self._object(subj, pred, value, term_def, ctx, graph)
+        return subj
+
+    def _emit_list(self, subj, pred, values, term_def, ctx, graph) -> None:
+        if not values:
+            self._emit(subj[0], subj[1], pred, "NamedNode", RDF_NS + "nil", g=graph)
+            return
+        heads = [self._fresh_bnode() for _ in values]
+        self._emit(subj[0], subj[1], pred, "BlankNode", heads[0], g=graph)
+        for i, (value, head) in enumerate(zip(values, heads)):
+            self._object(("BlankNode", head), RDF_NS + "first", value, term_def, ctx, graph)
+            if i + 1 < len(heads):
+                self._emit("BlankNode", head, RDF_NS + "rest", "BlankNode", heads[i + 1], g=graph)
+            else:
+                self._emit("BlankNode", head, RDF_NS + "rest", "NamedNode", RDF_NS + "nil", g=graph)
+
+    def _object(self, subj, pred, value, term_def, ctx, graph) -> None:
+        if isinstance(value, dict):
+            if "@list" in value:
+                items = value["@list"]
+                self._emit_list(subj, pred, items if isinstance(items, list) else [items], term_def, ctx, graph)
+                return
+            if "@value" in value:
+                v = value["@value"]
+                lang = value.get("@language")
+                dt = value.get("@type")
+                if dt is not None:
+                    dt = self._expand_iri(dt, ctx, vocab=True)
+                lex, inferred_dt = self._json_literal(v)
+                self._emit(
+                    subj[0], subj[1], pred, "Literal", lex,
+                    dt if dt is not None else (None if lang else inferred_dt),
+                    lang, g=graph,
+                )
+                return
+            if set(value) <= {"@id"} and "@id" in value:
+                o = self._subject_term(value["@id"], ctx)
+                self._emit(subj[0], subj[1], pred, o[0], o[1], g=graph)
+                return
+            # nested node object: emit its quads, link by its subject
+            o = self.node(value, ctx, graph)
+            self._emit(subj[0], subj[1], pred, o[0], o[1], g=graph)
+            return
+        if isinstance(value, str):
+            if term_def.get("@type") == "@id":
+                o = self._subject_term(value, ctx)
+                self._emit(subj[0], subj[1], pred, o[0], o[1], g=graph)
+                return
+            dt = term_def.get("@type")
+            lang = term_def.get("@language", ctx.language)
+            self._emit(subj[0], subj[1], pred, "Literal", value, dt, None if dt else lang, g=graph)
+            return
+        lex, dt = self._json_literal(value)
+        coerced = term_def.get("@type")
+        self._emit(subj[0], subj[1], pred, "Literal", lex, coerced or dt, None, g=graph)
+
+    @staticmethod
+    def _json_literal(v) -> tuple[str, str | None]:
+        """JSON scalar → (lexical form, datatype) per the toRDF algorithm."""
+        if isinstance(v, bool):
+            return ("true" if v else "false", XSD + "boolean")
+        if isinstance(v, int):
+            return (str(v), XSD + "integer")
+        if isinstance(v, float):
+            # a JSON number loads as float only when written with a
+            # fraction/exponent — toRDF canonicalizes those as xsd:double
+            return (_canonical_double(v), XSD + "double")
+        if isinstance(v, str):
+            return (v, None)
+        if v is None:
+            raise ValueError("null @value is not an RDF literal")
+        raise NotImplementedError(f"@value of type {type(v).__name__} (use @json-free documents)")
+
+
+def parse_jsonld(text: str, base_iri: str | None = None) -> list[tuple]:
+    """Parse a JSON-LD document → quad tuples in the engine schema
+    (s_type, s, p, o_type, o, o_datatype, o_lang, g, seq)."""
+    p = _Parser(base_iri)
+    p.process_document(json.loads(text))
+    return p.quads
+
+
+def read_jsonld(spark, path: str, base_iri: str | None = None):
+    """``QuadSourceFile`` for ``.jsonld`` — per-file parsed (driver for one
+    file, distributed for globs/directories); accepts a file, glob, or
+    directory. ``base_iri`` defaults per file to its URI like rdf-parse's
+    ``path`` option."""
+    from rdf_dataset_fragmenter_js_spark.sources.driverfile import read_driver_parsed
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import JSONLD_EXTENSIONS
+
+    return read_driver_parsed(
+        spark,
+        path,
+        JSONLD_EXTENSIONS,
+        base_iri,
+        lambda text, base: parse_jsonld(text, base_iri=base),
+        "read_jsonld",
+    )

@@ -100,6 +100,9 @@ SUPPORTED_EXTENSIONS = (".nt", ".nq", ".ntriples", ".nquads")
 TURTLE_EXTENSIONS = (".ttl", ".turtle")
 #: extensions the driver-side RDF/XML parser handles (sources/rdfxml.py)
 RDFXML_EXTENSIONS = (".rdf", ".owl", ".rdfxml")
+#: extensions the JSON-LD parser handles (sources/jsonld.py; rdf-parse maps
+#: .json to application/ld+json too)
+JSONLD_EXTENSIONS = (".jsonld", ".json")
 
 _SCHEME_PREFIX = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
 
@@ -131,11 +134,9 @@ def read_nquads(spark: SparkSession, path: str, base_iri: str | None = None) -> 
         raise NotImplementedError(
             f"QuadSourceFile: unsupported RDF serialization for '{path}' — the "
             f"vectorized line parser handles {SUPPORTED_EXTENSIONS}; the "
-            f"driver-side parsers handle {TURTLE_EXTENSIONS} and "
-            f"{RDFXML_EXTENSIONS} (use read_rdf for extension dispatch); "
-            "JSON-LD (rdf-parse format in the reference, "
-            "lib/io/QuadSourceFile.ts:21) is not supported — convert to "
-            "N-Quads/Turtle"
+            f"per-file parsers handle {TURTLE_EXTENSIONS}, "
+            f"{RDFXML_EXTENSIONS} and {JSONLD_EXTENSIONS} (use read_rdf "
+            "for extension dispatch)"
         )
     df = parse_nquads_lines(spark.read.text(path))
     if base_iri:
@@ -143,20 +144,62 @@ def read_nquads(spark: SparkSession, path: str, base_iri: str | None = None) -> 
     return df
 
 
+def _sniff_format(path: str) -> str:
+    """Classify a path (file, glob, or directory) by the extension(s) of
+    the file(s) it targets: 'nquads' | 'turtle' | 'rdfxml' | 'jsonld'."""
+    import glob as _glob
+    import os
+
+    def classify(name: str) -> str | None:
+        n = name.lower()
+        if n.endswith(TURTLE_EXTENSIONS):
+            return "turtle"
+        if n.endswith(RDFXML_EXTENSIONS):
+            return "rdfxml"
+        if n.endswith(JSONLD_EXTENSIONS):
+            return "jsonld"
+        if n.endswith(SUPPORTED_EXTENSIONS):
+            return "nquads"
+        return None
+
+    direct = classify(path)
+    if direct:
+        return direct
+    if any(c in path for c in "*?["):
+        names = _glob.glob(path)
+    elif os.path.isdir(path):
+        names = [os.path.join(path, f) for f in os.listdir(path)]
+    else:
+        return "nquads"  # extension-less single file: reference default
+    kinds = {k for k in (classify(n) for n in names) if k}
+    if len(kinds) > 1:
+        raise ValueError(
+            f"QuadSourceFile: {path!r} mixes RDF serializations {sorted(kinds)} — "
+            "read each format separately and union with composite_source"
+        )
+    return kinds.pop() if kinds else "nquads"
+
+
 def read_rdf(spark: SparkSession, path: str, base_iri: str | None = None) -> DataFrame:
     """``QuadSourceFile`` with format dispatch by extension (the reference
     lets rdf-parse pick the parser from the path, QuadSourceFile.ts:19-25):
-    N-Triples/N-Quads → vectorized splittable line parser; Turtle and
-    RDF/XML → driver-side parsers (sources/turtle.py, sources/rdfxml.py)."""
-    lowered = path.lower()
-    if lowered.endswith(TURTLE_EXTENSIONS):
+    N-Triples/N-Quads → vectorized splittable line parser; Turtle, RDF/XML
+    and JSON-LD → per-file parsers (driver for one file, distributed over
+    executors for globs/directories — sources/driverfile.py). Directory and
+    glob paths dispatch on the extensions of the files they match."""
+    fmt = _sniff_format(path)
+    if fmt == "turtle":
         from rdf_dataset_fragmenter_js_spark.sources.turtle import read_turtle
 
         return read_turtle(spark, path, base_iri=base_iri)
-    if lowered.endswith(RDFXML_EXTENSIONS):
+    if fmt == "rdfxml":
         from rdf_dataset_fragmenter_js_spark.sources.rdfxml import read_rdfxml
 
         return read_rdfxml(spark, path, base_iri=base_iri)
+    if fmt == "jsonld":
+        from rdf_dataset_fragmenter_js_spark.sources.jsonld import read_jsonld
+
+        return read_jsonld(spark, path, base_iri=base_iri)
     return read_nquads(spark, path, base_iri=base_iri)
 
 

@@ -8,9 +8,11 @@ elements, ``rdf:about`` / ``rdf:nodeID`` / ``rdf:ID`` / anonymous subjects,
 nested node elements as objects, ``rdf:resource`` / ``rdf:nodeID`` object
 references, ``rdf:datatype`` and (scoped, inherited) ``xml:lang`` literals,
 scoped ``xml:base``, property attributes on node and property elements,
-``rdf:parseType="Resource"``, and ``rdf:li`` container membership.
-Reification attributes and ``parseType="Literal"/"Collection"`` fail fast
-with a targeted message rather than silently mis-parsing.
+``rdf:parseType="Resource"``, ``rdf:parseType="Collection"``
+(rdf:first/rest/nil chains, same encoding as the Turtle parser's
+collections), and ``rdf:li`` container membership. Reification attributes
+and ``parseType="Literal"`` fail fast with a targeted message rather than
+silently mis-parsing.
 """
 
 from __future__ import annotations
@@ -46,8 +48,10 @@ class _Parser:
         self._bnode_n = 0
 
     def _fresh_bnode(self) -> str:
+        # PN_CHARS-only (serializable as N-Quads); cross-file uniqueness
+        # comes from the per-file namespacing in sources/driverfile.py
         self._bnode_n += 1
-        return f"genid!xml!{self._bnode_n}"
+        return f"genid_xml_{self._bnode_n}"
 
     def _resolve(self, iri: str, base: str | None) -> str:
         if base is None:
@@ -131,10 +135,11 @@ class _Parser:
                 "rdf:ID reification on property elements is not supported"
             )
         parse_type = prop.get(_RDF + "parseType")
-        if parse_type is not None and parse_type != "Resource":
+        if parse_type is not None and parse_type not in ("Resource", "Collection"):
             raise NotImplementedError(
-                f"rdf:parseType={parse_type!r} is not supported (only 'Resource'; "
-                "convert parseType Literal/Collection documents to Turtle/N-Quads)"
+                f"rdf:parseType={parse_type!r} is not supported (only 'Resource' "
+                "and 'Collection'; convert parseType='Literal' documents to "
+                "Turtle/N-Quads)"
             )
 
         resource = prop.get(_RDF + "resource")
@@ -151,6 +156,23 @@ class _Parser:
             obj = ("BlankNode", self._fresh_bnode())
             self._emit(subj[0], subj[1], pred, obj[0], obj[1])
             self.properties(prop, obj, base, lang)
+            return li_counter
+        if parse_type == "Collection":
+            # RDF/XML §7.2.19: child node elements become an rdf:first/rest
+            # chain — the same list encoding the Turtle parser emits for
+            # '( … )' (sources/turtle.py collections)
+            items = [self.node(child, base, lang) for child in prop]
+            if not items:
+                self._emit(subj[0], subj[1], pred, "NamedNode", RDF_NS + "nil")
+                return li_counter
+            heads = [self._fresh_bnode() for _ in items]
+            self._emit(subj[0], subj[1], pred, "BlankNode", heads[0])
+            for i, ((it_type, it_val), head) in enumerate(zip(items, heads)):
+                self._emit("BlankNode", head, RDF_NS + "first", it_type, it_val)
+                if i + 1 < len(heads):
+                    self._emit("BlankNode", head, RDF_NS + "rest", "BlankNode", heads[i + 1])
+                else:
+                    self._emit("BlankNode", head, RDF_NS + "rest", "NamedNode", RDF_NS + "nil")
             return li_counter
         has_text = bool(prop.text and prop.text.strip())
         if resource is not None or node_id is not None or (prop_attrs and not children):
@@ -199,13 +221,16 @@ def parse_rdfxml(text: str, base_iri: str | None = None) -> list[tuple]:
     """Parse an RDF/XML document → quad tuples in the engine schema."""
     root = ET.fromstring(text)
     p = _Parser(base_iri)
-    base, lang = p._scoped(root, base_iri, None)
     uri, local = _split_tag(root.tag)
     if uri + local == RDF_NS + "RDF":
+        base, lang = p._scoped(root, base_iri, None)
         for child in root:
             p.node(child, base, lang)
     else:
-        p.node(root, base, lang)  # single top-level node element
+        # single top-level node element: node() applies the root's own
+        # xml:base/xml:lang scoping — doing it here too would resolve a
+        # relative xml:base twice
+        p.node(root, base_iri, None)
     return p.quads
 
 

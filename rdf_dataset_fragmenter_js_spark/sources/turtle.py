@@ -154,10 +154,11 @@ class TurtleParser:
         return resolve_iri(iri, self.base)
 
     def _fresh_bnode(self) -> str:
-        # '!' cannot appear in a parsed BLANK_NODE_LABEL (_BNODE regex), so
-        # generated labels can never collide with document-authored ones
+        # PN_CHARS-only so the N-Quads sink can serialize the label for
+        # conformant downstream parsers; cross-file uniqueness comes from
+        # the per-file namespacing in sources/driverfile.py
         self._bnode_n += 1
-        return f"genid!ttl!{self._bnode_n}"
+        return f"genid_ttl_{self._bnode_n}"
 
     def _read_iri(self) -> str | None:
         """IRIREF or prefixed name → absolute IRI string, or None."""

@@ -21,16 +21,48 @@ for a long-running continuous job.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+_NQ_EXTENSIONS = (".nt", ".nq")
+
+
+def _check_nquads_path(path: str) -> None:
+    """The line reader consumes N-Quads/N-Triples only; a directory of
+    ``.ttl`` files would be silently lexed as malformed lines and dropped,
+    so fail fast on anything else (Turtle/RDF-XML: convert upstream)."""
+    base = path.rstrip("/")
+    if base.lower().endswith(_NQ_EXTENSIONS) or any(c in base for c in "*?["):
+        return
+    if os.path.isdir(base):
+        bad = [
+            f
+            for f in os.listdir(base)
+            if "." in f and not f.lower().endswith(_NQ_EXTENSIONS)
+        ]
+        if bad:
+            raise ValueError(
+                f"stream_pipeline_spec reads N-Quads/N-Triples lines, but "
+                f"{base!r} contains {bad[:3]!r} — convert other RDF "
+                "serializations to .nt/.nq before streaming them"
+            )
+        return
+    raise ValueError(
+        f"stream_pipeline_spec source filePath {path!r} must target "
+        ".nt/.nq files (file, glob, or directory)"
+    )
 
 from rdf_dataset_fragmenter_js_spark.plans.pipeline import (
     build_strategy,
     build_transformer,
 )
 from rdf_dataset_fragmenter_js_spark.sinks.paths import map_doc_to_path
-from rdf_dataset_fragmenter_js_spark.sources.nquads import parse_nquads_lines
+from rdf_dataset_fragmenter_js_spark.sources.nquads import (
+    parse_nquads_lines,
+    resolve_terms_against_base,
+)
 
 
 def stream_pipeline_spec(
@@ -53,6 +85,8 @@ def stream_pipeline_spec(
             "stream_pipeline_spec consumes one append-only QuadSourceFile "
             "directory (composite sources: union upstream into one dir)"
         )
+    src_path = src["filePath"]
+    _check_nquads_path(src_path)
     sink = spec["quadSink"]
     if sink["@type"] != "QuadSinkFile" or sink.get("outputFormat") != "parquet":
         raise NotImplementedError(
@@ -65,9 +99,13 @@ def stream_pipeline_spec(
     # to each micro-batch frame (they are pure DataFrame -> DataFrame).
     transformer_specs = spec.get("transformers", [])
     strategy_spec = spec["fragmentationStrategy"]
+    base_iri = src.get("baseIRI")
 
     def process(batch_lines: DataFrame, batch_id: int) -> None:
         df = parse_nquads_lines(batch_lines)
+        if base_iri:
+            # same relative-IRI semantics as the batch read_rdf path
+            df = resolve_terms_against_base(df, base_iri)
         for tr in transformer_specs:
             df = build_transformer(tr)(df)
         routed = build_strategy(strategy_spec)(df)
@@ -76,7 +114,7 @@ def stream_pipeline_spec(
         )
         with_path.write.mode("append").partitionBy("path").parquet(output_dir)
 
-    lines = spark.readStream.text(src["filePath"])
+    lines = spark.readStream.text(src_path)
     writer = (
         lines.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

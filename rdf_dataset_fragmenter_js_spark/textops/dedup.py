@@ -22,8 +22,12 @@ min() aggregate before any shuffle leaves the map side.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -221,7 +225,11 @@ def simhash16(
     )
 
 
-def near_dup_clusters(pairs: DataFrame, driver_threshold: int = 1_000_000) -> DataFrame:
+def near_dup_clusters(
+    pairs: DataFrame,
+    driver_threshold: int = 1_000_000,
+    max_iterations: int = 20,
+) -> DataFrame:
     """Connected components over near-dup pairs (doc_a, doc_b) → cluster
     representative per doc. Returns (doc_id, cluster_id).
 
@@ -268,11 +276,19 @@ def near_dup_clusters(pairs: DataFrame, driver_threshold: int = 1_000_000) -> Da
         schema = pairs.schema
         t = schema[0].dataType.simpleString()
         return spark.createDataFrame(labels, f"doc_id {t}, cluster_id {t}")
-    return _near_dup_clusters_distributed(pairs)
+    return _near_dup_clusters_distributed(pairs, max_iterations=max_iterations)
 
 
-def _near_dup_clusters_distributed(pairs: DataFrame) -> DataFrame:
-    """The scalable min-label-propagation path (used above threshold)."""
+def _near_dup_clusters_distributed(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """The scalable min-label-propagation path (used above threshold).
+
+    ``max_iterations`` bounds the label-propagation rounds; propagation
+    converges in O(cluster diameter), so a hit on the cap means a
+    pathological duplicate chain — we log it (like the bnode closure,
+    ``strategies/bnode.py``) instead of silently returning split
+    clusters. The driver union-find path is exact and has no cap."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -285,7 +301,7 @@ def _near_dup_clusters_distributed(pairs: DataFrame) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(20):
+    for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["doc_id"])
             .groupBy("src")
@@ -309,4 +325,11 @@ def _near_dup_clusters_distributed(pairs: DataFrame) -> DataFrame:
         labels = new_labels
         if changed:
             break
+    else:
+        logger.warning(
+            "near-dup connected components did not converge in %d "
+            "iterations — returning possibly split clusters (raise "
+            "max_iterations for chains deeper than the cap)",
+            max_iterations,
+        )
     return labels

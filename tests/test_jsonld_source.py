@@ -1,0 +1,168 @@
+"""JSON-LD source parity: the reference delegates .jsonld to rdf-parse
+(lib/io/QuadSourceFile.ts:19-25); our parser must produce the same quad
+multisets as the Turtle/N-Quads twins and run end-to-end from a config."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_dataset_fragmenter_js_spark.sources.jsonld import parse_jsonld
+from rdf_dataset_fragmenter_js_spark.sources.nquads import read_rdf
+from rdf_dataset_fragmenter_js_spark.sources.turtle import parse_turtle
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+E = "http://ex.org/"
+
+
+def _vals(rows):
+    return sorted((r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows)
+
+
+def test_expanded_form_basics():
+    doc = """[
+      {"@id": "http://ex.org/s",
+       "@type": ["http://ex.org/T"],
+       "http://ex.org/name": [{"@value": "Alice", "@language": "en"}],
+       "http://ex.org/age": [{"@value": 30}],
+       "http://ex.org/knows": [{"@id": "http://ex.org/o"}]}
+    ]"""
+    vals = {(q[0], q[1], q[2], q[3], q[4], q[5], q[6]) for q in parse_jsonld(doc)}
+    assert ("NamedNode", E + "s", RDF_NS + "type", "NamedNode", E + "T", None, None) in vals
+    assert ("NamedNode", E + "s", E + "name", "Literal", "Alice", None, "en") in vals
+    assert ("NamedNode", E + "s", E + "age", "Literal", "30", XSD + "integer", None) in vals
+    assert ("NamedNode", E + "s", E + "knows", "NamedNode", E + "o", None, None) in vals
+
+
+def test_compacted_matches_turtle_twin():
+    doc = """{
+      "@context": {
+        "ex": "http://ex.org/",
+        "name": "http://ex.org/name",
+        "knows": {"@id": "http://ex.org/knows", "@type": "@id"},
+        "tags": {"@id": "http://ex.org/tags", "@container": "@list"},
+        "score": {"@id": "http://ex.org/score", "@type": "http://www.w3.org/2001/XMLSchema#decimal"}
+      },
+      "@id": "ex:alice",
+      "@type": "ex:Person",
+      "name": "Alice",
+      "knows": "ex:bob",
+      "score": "9.5",
+      "tags": ["x", "y"]
+    }"""
+    ttl = (
+        "@prefix ex: <http://ex.org/> .\n"
+        "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"
+        "ex:alice a ex:Person ;\n"
+        '  ex:name "Alice" ;\n'
+        "  ex:knows ex:bob ;\n"
+        '  ex:score "9.5"^^xsd:decimal ;\n'
+        '  ex:tags ( "x" "y" ) .\n'
+    )
+
+    def canon(rows):
+        mapping: dict[str, str] = {}
+
+        def m(t, v):
+            return mapping.setdefault(v, f"c{len(mapping)}") if t == "BlankNode" else v
+
+        return sorted(
+            (r[0], m(r[0], r[1]), r[2], r[3], m(r[3], r[4]), r[5], r[6], r[7])
+            for r in rows
+        )
+
+    assert canon(parse_jsonld(doc)) == canon(parse_turtle(ttl))
+
+
+def test_vocab_base_graph_and_bnodes():
+    doc = """{
+      "@context": {"@vocab": "http://vocab.org/", "@base": "http://base.org/"},
+      "@id": "http://ex.org/g1",
+      "@graph": [
+        {"@id": "rel", "p": {"@value": "v"}},
+        {"@id": "_:b0", "p": {"@id": "_:b1"}}
+      ]
+    }"""
+    vals = {(q[0], q[1], q[2], q[3], q[4], q[7]) for q in parse_jsonld(doc)}
+    assert ("NamedNode", "http://base.org/rel", "http://vocab.org/p", "Literal", "v", "http://ex.org/g1") in vals
+    assert ("BlankNode", "b_b0", "http://vocab.org/p", "BlankNode", "b_b1", "http://ex.org/g1") in vals
+
+
+def test_nested_nodes_and_doubles():
+    doc = """{
+      "@context": {"ex": "http://ex.org/"},
+      "@id": "ex:s",
+      "ex:child": {"ex:weight": 1.5, "ex:flag": true}
+    }"""
+    rows = parse_jsonld(doc)
+    vals = {(q[2], q[3], q[4], q[5]) for q in rows}
+    assert (E + "weight", "Literal", "1.5E0", XSD + "double") in vals
+    assert (E + "flag", "Literal", "true", XSD + "boolean") in vals
+    child = [q for q in rows if q[2] == E + "child"]
+    assert len(child) == 1 and child[0][3] == "BlankNode"
+
+
+def test_exotic_features_fail_fast():
+    with pytest.raises(NotImplementedError, match="remote @context"):
+        parse_jsonld('{"@context": "http://schema.org/", "@id": "http://s"}')
+    with pytest.raises(NotImplementedError, match="@reverse"):
+        parse_jsonld('{"@id": "http://s", "@reverse": {"http://p": {"@id": "http://o"}}}')
+    with pytest.raises(NotImplementedError, match="@container"):
+        parse_jsonld(
+            '{"@context": {"p": {"@id": "http://p", "@container": "@index"}},'
+            ' "@id": "http://s", "p": {"i": "v"}}'
+        )
+
+
+def test_read_rdf_dispatches_jsonld_e2e(spark, tmp_path):
+    """A .jsonld file runs through read_rdf + the full pipeline spec."""
+    doc = tmp_path / "people.jsonld"
+    doc.write_text(
+        '{"@context": {"ex": "http://ex.org/"},'
+        ' "@graph": ['
+        '  {"@id": "ex:s1", "ex:p": {"@id": "ex:o1"}},'
+        '  {"@id": "ex:s2", "ex:p": {"@value": "lit"}}'
+        "]}"
+    )
+    df = read_rdf(spark, str(doc))
+    rows = df.collect()
+    assert _vals(tuple(r)[:8] for r in rows) == _vals(
+        [
+            ("NamedNode", E + "s1", E + "p", "NamedNode", E + "o1", None, None, None),
+            ("NamedNode", E + "s2", E + "p", "Literal", "lit", None, None, None),
+        ]
+    )
+
+    from rdf_dataset_fragmenter_js_spark.plans.pipeline import run_pipeline_spec
+
+    out = tmp_path / "out"
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": str(doc)},
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkFile",
+            "outputFormat": "parquet",
+            "iriToPath": {"^http://ex\\.org/": "pods/"},
+        },
+    }
+    run_pipeline_spec(spark, spec, str(out))
+    written = spark.read.parquet(str(out))
+    assert {r.path for r in written.select("path").distinct().collect()} == {
+        "pods/s1",
+        "pods/s2",
+    }
+
+
+def test_multi_file_jsonld_distributed(spark, tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    for i in range(2):
+        (d / f"d{i}.jsonld").write_text(
+            '{"@context": {"ex": "http://ex.org/"},'
+            f' "@id": "ex:s{i}", "ex:p": {{"@id": "_:x"}}}}'
+        )
+    rows = read_rdf(spark, str(d)).collect()
+    assert {(r.s, r.o) for r in rows} == {
+        (E + "s0", "f0_b_x"),
+        (E + "s1", "f1_b_x"),
+    }

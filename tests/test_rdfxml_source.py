@@ -80,7 +80,7 @@ def test_rdfxml_fail_fast():
         parse_rdfxml(
             f'<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:ex="{E}">'
             f'<rdf:Description rdf:about="{E}a">'
-            '<ex:p rdf:parseType="Collection"/>'
+            '<ex:p rdf:parseType="Literal"><b>x</b></ex:p>'
             "</rdf:Description></rdf:RDF>"
         )
     with pytest.raises(ValueError, match="un-namespaced"):

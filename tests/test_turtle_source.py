@@ -167,11 +167,16 @@ def test_turtle_lexer_edge_cases():
     quads = parse_turtle('<http://s> <http://p> """abc""""" .')
     assert quads[0][4] == 'abc""'
 
-    # document-authored labels can never collide with generated ones
+    # generated labels stay distinct from authored ones and use only
+    # PN_CHARS (so the N-Quads sink can serialize them for conformant
+    # downstream parsers — no '!' or other illegal label characters)
     quads = parse_turtle(
         "@prefix ex: <http://ex.org/> .\n"
         "_:genid1 ex:p [ ex:q ex:v ] .\n"
     )
     labels = {q[1] for q in quads if q[0] == "BlankNode"}
     gen = {l for l in labels if l != "genid1"}
-    assert len(gen) == 1 and "!" in next(iter(gen))
+    assert len(gen) == 1
+    import re
+
+    assert re.fullmatch(r"[A-Za-z0-9_]+", next(iter(gen)))
