@@ -256,105 +256,188 @@ def run_pipeline_spec(spark: SparkSession, spec: dict[str, Any] | str, output_di
         with open(spec) as f:
             spec = json.load(f)
     callbacks = spec.get("transformCallback") or []
-    lineage: list[DataFrame] | None = [] if callbacks else None
-    transformed = compile_transformed(spark, spec, lineage_sink=lineage)
+    source = build_source(spark, spec["quadSource"])
     if callbacks:
-        # the mapping tables feed both the rewrite joins (inside
-        # `transformed`) and the callback CSVs; the transformed frame feeds
-        # the sink and every callback's matcher pass — persist both layers
-        # so the source is not re-scanned per consumer
-        lineage = [m.persist() for m in lineage or []]
+        # the source feeds the transformer chain, every callback's
+        # original-value join, and the callback core-chain pass; the
+        # transformed frame feeds the sink and every callback's matcher
+        # pass — persist both layers so nothing is re-scanned per consumer
+        source = source.persist()
+    transformed = source
+    for tr in spec.get("transformers", []):
+        transformed = _apply_transformer(tr, transformed, None)
+    if callbacks:
         transformed = transformed.persist()
     try:
         strategy = build_strategy(spec["fragmentationStrategy"])
         run_sink(spark, strategy(transformed), spec["quadSink"], output_dir)
         for cb in callbacks:
-            run_transform_callback(spark, cb, lineage or [], transformed)
+            run_transform_callback(
+                spark, cb, source, transformed, spec.get("transformers", [])
+            )
     finally:
         if callbacks:
             transformed.unpersist()
-            for m in lineage or []:
-                m.unpersist()
+            source.unpersist()
+
+
+#: transformers that EXPAND the stream (their outputs appear in the
+#: reference's per-quad transformedQuads after the rewritten original)
+_EXPANDING_TYPES = {
+    "QuadTransformerClone",
+    "QuadTransformerAppendQuad",
+    "QuadTransformerAppendQuadLink",
+    "QuadTransformerAppendResourceLink",
+    "QuadTransformerAppendResourceScl",
+    "QuadTransformerAppendResourceSolidTypeIndex",
+}
+
+
+def _core_specs(specs: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """The transformer chain with the expanding transformers removed — what
+    remains maps each original quad to its single REWRITTEN form (the head
+    of the reference's transformedQuads list)."""
+    out = []
+    for s in specs:
+        t = s["@type"]
+        if t in _EXPANDING_TYPES:
+            continue
+        if t == "QuadTransformerCompositeSequential":
+            out.append({**s, "transformers": _core_specs(s["transformers"])})
+        elif t == "QuadTransformerDistinct":
+            inner = _core_specs([s["transformer"]])
+            if inner:
+                out.append({**s, "transformer": inner[0]})
+        else:
+            out.append(s)
+    return out
 
 
 def run_transform_callback(
     spark: SparkSession,
     cb: dict[str, Any],
-    lineage_tables: list[DataFrame],
+    source: DataFrame,
     transformed: DataFrame,
+    transformer_specs: list[dict[str, Any]],
 ) -> None:
     """``TransformCallbackMap`` (``lib/transformCallback/
-    TransformCallbackMap.ts:33-43``): write original→transformed field-value
-    pairs to CSV for transformed quads matching any configured matcher.
+    TransformCallbackMap.ts:33-43``) — exact row semantics: one CSV row per
+    ORIGINAL quad whose transformed quads match any configured matcher; the
+    row is the original quad's ``fieldToMap`` value followed by every
+    matching transformed quad's value, comma-joined. ``fieldToMap`` may be
+    any quad component. Rows are written in source order.
 
-    Batch semantics: the pairs come from the remap-family mapping tables
-    (exact value lineage for identifier rewrites — the reference's
-    documented original→pod-IRI workflow, ``README.md`` "Map Transform
-    Callback"); a pair is written when some transformed quad carries the
-    mapped value in ``fieldToMap`` and matches a matcher. Rows are distinct
-    (original, mapped) pairs — the reference emits one row per matching
-    quad with all matches comma-joined; for identifier remaps both forms
-    carry the same single mapped value."""
+    Batch reconstruction: ``seq`` is the original-quad identity and
+    survives every transformer (rewrites keep it, the append family and
+    clone copy their trigger's seq), so grouping matched transformed quads
+    by seq rebuilds the reference's per-quad ``transformedQuads`` list. The
+    reference's in-list order is [rewritten original, appended…]; the
+    rewritten original is recovered by re-running the chain without the
+    expanding transformers, and further appended matches order canonically
+    (equal to emission order whenever at most one appended quad matches per
+    original — every documented reference workflow).
+
+    Matcher evaluation is a single pass: each matcher contributes a flag
+    column over ONE scan of the persisted frame, OR-combined."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
     from rdf_dataset_fragmenter_js_spark.operators.matchers import TERM_COLUMNS
+    from rdf_dataset_fragmenter_js_spark.quads import QUAD_VALUE_COLUMNS
 
     t = cb["@type"]
     if t != "TransformCallbackMap":
         raise ValueError(f"Unknown transformCallback @type {t} (lib/transformCallback/)")
     field = cb["fieldToMap"]
-    if field not in ("subject", "object"):
-        raise NotImplementedError(
-            f"TransformCallbackMap fieldToMap={field!r}: the batch lineage "
-            "tracks identifier rewrites, which only touch subjects/objects"
+    if field not in TERM_COLUMNS:
+        raise ValueError(
+            f"TransformCallbackMap fieldToMap={field!r}: must be one of "
+            f"{sorted(TERM_COLUMNS)}"
         )
-    if not lineage_tables:
-        raise NotImplementedError(
-            "transformCallback requires a QuadTransformerRemapResourceIdentifier "
-            "or QuadTransformerCompositeVaryingResource in the transformer "
-            "chain — no identifier lineage exists for this pipeline"
-        )
-    from functools import reduce
-
-    from pyspark.sql import functions as F
-
-    mapping = reduce(DataFrame.unionByName, lineage_tables).distinct()
     value_col = TERM_COLUMNS[field][0]
-    matched = None
-    for mspec in cb["matchers"]:
-        marker = build_matcher(mspec)
-        mdf = marker(transformed).filter(F.col("__match")).drop("__match")
-        matched = mdf if matched is None else matched.unionByName(mdf)
-    if matched is None:
+    header = ",".join(cb["columns"])
+    matchers = cb["matchers"]
+    if not matchers:
         # reference semantics: no matchers → nothing ever matches → the
         # callback writes only the CSV header (TransformCallbackMap.ts:38)
-        rows = mapping.select("res", "mapped").limit(0)
-    else:
-        matched_values = matched.select(F.col(value_col).alias("__v")).distinct()
-        rows = (
-            mapping.join(matched_values, mapping["mapped"] == F.col("__v"), "left_semi")
-            .select("res", "mapped")
-            .distinct()
+        _write_single_text(None, header, cb["file"])
+        return
+
+    m = transformed
+    flags = []
+    for i, mspec in enumerate(matchers):
+        m = build_matcher(mspec)(m).withColumnRenamed("__match", f"__m{i}")
+        flags.append(F.col(f"__m{i}"))
+    matched = m.filter(reduce(lambda a, b: a | b, flags)).drop(
+        *[f"__m{i}" for i in range(len(matchers))]
+    )
+
+    def qv():
+        # null-free struct so array_position's struct equality is exact
+        return F.struct(
+            *[F.coalesce(F.col(c), F.lit("\x00")).alias(c) for c in QUAD_VALUE_COLUMNS],
+            F.col(value_col).alias("__fv"),
         )
-    _write_single_csv(rows, list(cb["columns"]), cb["file"])
+
+    grouped = matched.groupBy("seq").agg(F.collect_list(qv()).alias("__ms"))
+    core = source
+    for tr in _core_specs(transformer_specs):
+        core = build_transformer(tr)(core)
+    core_sel = core.select(F.col("seq").alias("__cseq"), qv().alias("__core"))
+    orig = source.select("seq", F.col(value_col).alias("__orig"))
+
+    joined = (
+        orig.join(grouped, on="seq")
+        .join(core_sel, F.col("seq") == F.col("__cseq"), "left")
+        .drop("__cseq")
+    )
+    # rewritten-original first (removed once from the rest), appended after
+    pos = F.array_position(F.col("__ms"), F.col("__core"))
+    rest = F.when(
+        pos > 0,
+        F.expr(
+            "filter(__ms, (x, i) -> i != int(array_position(__ms, __core)) - 1)"
+        ),
+    ).otherwise(F.col("__ms"))
+    ordered = F.when(
+        pos > 0, F.concat(F.array(F.col("__core")), F.array_sort(rest))
+    ).otherwise(F.array_sort(F.col("__ms")))
+    lines = joined.select(
+        "seq",
+        F.concat_ws(
+            ",", F.col("__orig"), F.concat_ws(",", F.transform(ordered, lambda x: x["__fv"]))
+        ).alias("line"),
+    )
+    _write_single_text(lines, header, cb["file"])
 
 
-def _write_single_csv(rows: DataFrame, columns: list[str], file_path: str) -> None:
-    """One exact-path CSV file with header — the reference writes a plain
-    file stream (TransformCallbackMap.ts:45-67); Spark writes a part file
-    which is then moved into place (shared-filesystem assumption, same as
-    the N-Quads fixture layout)."""
+def _write_single_text(
+    lines: DataFrame | None, header: str, file_path: str
+) -> None:
+    """One exact-path text file: header + ``line`` rows ordered by ``seq``
+    — the reference writes a plain file stream in quad arrival order
+    (TransformCallbackMap.ts:45-67). Rows may be ragged (a variable number
+    of comma-joined matches), so this writes raw lines, not a CSV dataset."""
     import glob
     import os
     import shutil
     import tempfile
 
-    tmp = tempfile.mkdtemp(prefix="tcb_csv_")
-    rows.coalesce(1).write.mode("overwrite").csv(tmp)
-    parts = glob.glob(os.path.join(tmp, "part-*"))
     parent = os.path.dirname(file_path)
     if parent:
         os.makedirs(parent, exist_ok=True)
+    if lines is None:
+        with open(file_path, "w") as out:
+            out.write(header + "\n")
+        return
+    tmp = tempfile.mkdtemp(prefix="tcb_csv_")
+    # sort gives range-partitioned output; part files concatenate in
+    # partition order = global seq order
+    lines.sort("seq").select("line").write.mode("overwrite").text(tmp)
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
     with open(file_path, "w") as out:
-        out.write(",".join(columns) + "\n")
+        out.write(header + "\n")
         for part in parts:
             with open(part) as inp:
                 shutil.copyfileobj(inp, out)

@@ -225,13 +225,47 @@ def extract_features(media: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame
 
 def repartition_by_bytes(media: DataFrame, target_bytes: int = 256 << 20) -> DataFrame:
     """Size partitions by payload bytes, not row count — binary columns make
-    row-count partitioning useless (one 4K video ≈ 10^6 thumbnails)."""
-    stats = media.agg(
-        F.sum(F.coalesce(F.length("payload"), F.lit(0))).alias("total")
-    ).collect()[0]
-    total = stats["total"] or 0
+    row-count partitioning useless (one 4K video ≈ 10^6 thumbnails).
+
+    The byte total comes from FILE METADATA when the frame is backed by a
+    file scan (``inputFiles`` + FileSystem status — a driver-only listing,
+    zero Spark jobs), so the media table is not scanned twice just to pick
+    a partition count. At 100 TB that metadata path is the only sane one.
+    On-disk sizes are compressed, but binary media payloads are
+    incompressible enough that the estimate holds; frames not backed by
+    files (in-memory fixtures) fall back to one aggregate over payload
+    lengths."""
+    total = _input_file_bytes(media)
+    if total is None:
+        stats = media.agg(
+            F.sum(F.coalesce(F.length("payload"), F.lit(0))).alias("total")
+        ).collect()[0]
+        total = stats["total"] or 0
     n = max(1, int(total // target_bytes) + 1)
     return media.repartition(n)
+
+
+def _input_file_bytes(df: DataFrame) -> int | None:
+    """Sum the on-disk size of the files behind ``df`` (None when the frame
+    is not a plain file scan). Uses the Hadoop FileSystem API so hdfs/s3a
+    paths work the same as file: ones."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file-backed plans
+        return None
+    if not files:
+        return None
+    try:
+        sc = df.sparkSession.sparkContext
+        conf = sc._jsc.hadoopConfiguration()
+        jvm_path = sc._jvm.org.apache.hadoop.fs.Path
+        total = 0
+        for f in files:
+            p = jvm_path(f)
+            total += p.getFileSystem(conf).getFileStatus(p).getLen()
+        return total
+    except Exception:
+        return None
 
 
 #: synthetic generator geometry — the independent SQL oracle derives sizes

@@ -123,6 +123,39 @@ def test_multimodal_features(spark):
     }
 
 
+def test_repartition_by_bytes_uses_file_metadata(spark, tmp_path):
+    """For a file-backed media table the partition count comes from file
+    metadata — calling repartition_by_bytes runs ZERO Spark jobs (no second
+    scan of the payload bytes before the decode pass)."""
+    from rdf_dataset_fragmenter_js_spark.textops.multimodal import (
+        _input_file_bytes,
+        repartition_by_bytes,
+        synthetic_media,
+    )
+
+    p = str(tmp_path / "media_pq")
+    synthetic_media(spark, 30).write.parquet(p)
+    media = spark.read.parquet(p)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("rbb_meta", "repartition_by_bytes metadata probe")
+    try:
+        out = repartition_by_bytes(media, target_bytes=1 << 20)
+        jobs = sc.statusTracker().getJobIdsForGroup("rbb_meta")
+    finally:
+        sc.setJobGroup(None, None)
+    assert jobs == []  # plan built without any action
+    import os
+
+    expected = sum(
+        os.path.getsize(os.path.join(p, f))
+        for f in os.listdir(p)
+        if f.startswith("part-")
+    )
+    assert _input_file_bytes(media) == expected
+    assert out.count() == 30  # plan still executes correctly
+
+
 def test_sessionize(spark):
     from rdf_dataset_fragmenter_js_spark.streaming.sessions import sessionize
 

@@ -77,7 +77,100 @@ def test_transform_callback_map_csv(spark, spec, tmp_path):
     assert rows[1:] == [["http://ldbc/post1", "http://pods/933/posts#618"]]
 
 
-def test_transform_callback_requires_lineage(spark, spec, tmp_path):
+def test_transform_callback_identity_chain(spark, spec, tmp_path):
+    """With no transformers, each original quad's transformedQuads is just
+    itself — a matching quad records original,original (the reference would
+    do exactly this; no lineage requirement)."""
     spec = dict(spec, transformers=[])
-    with pytest.raises(NotImplementedError, match="identifier lineage"):
-        run_pipeline_spec(spark, spec, str(tmp_path / "frags2"))
+    run_pipeline_spec(spark, spec, str(tmp_path / "frags2"))
+    with open(tmp_path / "out-fragments" / "subject-mapping.csv") as f:
+        rows = [line.rstrip("\n") for line in f]
+    assert rows == [
+        "originalSubject,mappedSubject",
+        "http://ldbc/post1,http://ldbc/post1",
+    ]
+
+
+def test_transform_callback_multi_match_row_shape(spark, tmp_path):
+    """Exact reference row semantics (TransformCallbackMap.ts:33-43): one
+    row per original quad with ALL matching transformed quads comma-joined
+    — here clone makes each type quad match twice, and an appended quad
+    matching the matcher joins onto its trigger's row."""
+    nq = tmp_path / "d.nq"
+    nq.write_text(
+        f"<http://ldbc/post1> <{RDF_TYPE}> <{VOC}Post> .\n"
+        f'<http://ldbc/post1> <{VOC}id> "618" .\n'
+    )
+    out_csv = tmp_path / "map.csv"
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": str(nq)},
+        "transformers": [{"@type": "QuadTransformerClone"}],
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkFile",
+            "outputFormat": "parquet",
+            "iriToPath": {"^http://": str(tmp_path) + "/out/"},
+        },
+        "transformCallback": [
+            {
+                "@type": "TransformCallbackMap",
+                "file": str(out_csv),
+                "fieldToMap": "subject",
+                "columns": ["original", "matches"],
+                "matchers": [
+                    {
+                        "@type": "QuadMatcherResourceType",
+                        "typeRegex": "vocabulary/Post$",
+                        "matchFullResource": False,
+                    }
+                ],
+            }
+        ],
+    }
+    run_pipeline_spec(spark, spec, str(tmp_path / "frags"))
+    with open(out_csv) as f:
+        rows = [line.rstrip("\n") for line in f]
+    # the type quad was cloned: both copies match -> orig,match,match;
+    # the id quad matches nothing -> no row
+    assert rows == [
+        "original,matches",
+        "http://ldbc/post1,http://ldbc/post1,http://ldbc/post1",
+    ]
+
+
+def test_transform_callback_predicate_field(spark, tmp_path):
+    """fieldToMap accepts every quad component now (the reference allows
+    subject|predicate|object|graph)."""
+    nq = tmp_path / "d.nq"
+    nq.write_text(f"<http://ldbc/post1> <{RDF_TYPE}> <{VOC}Post> .\n")
+    out_csv = tmp_path / "map.csv"
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": str(nq)},
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkFile",
+            "outputFormat": "parquet",
+            "iriToPath": {"^http://": str(tmp_path) + "/out/"},
+        },
+        "transformCallback": [
+            {
+                "@type": "TransformCallbackMap",
+                "file": str(out_csv),
+                "fieldToMap": "predicate",
+                "columns": ["originalPredicate", "mappedPredicate"],
+                "matchers": [
+                    {
+                        "@type": "QuadMatcherPredicate",
+                        "predicateRegex": "type$",
+                    }
+                ],
+            }
+        ],
+    }
+    run_pipeline_spec(spark, spec, str(tmp_path / "frags"))
+    with open(out_csv) as f:
+        rows = [line.rstrip("\n") for line in f]
+    assert rows == [
+        "originalPredicate,mappedPredicate",
+        f"{RDF_TYPE},{RDF_TYPE}",
+    ]
