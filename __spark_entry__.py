@@ -262,6 +262,66 @@ def q_source_nquads_roundtrip(spark, sf_dir):
     )
 
 
+def q_source_jsonld_roundtrip(spark, sf_dir):
+    """JSON-LD source e2e: the order quads serialized as an expanded-form
+    JSON-LD document on disk, read back through read_rdf's extension
+    dispatch (sources/jsonld.py), compared against the same quads built by
+    the oracle directly — drives the parser, not just the fixture tests."""
+    import json as _json
+    import os
+    import tempfile
+
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import read_rdf
+
+    rows = TD.order_quads(spark, sf_dir).collect()
+    nodes = []
+    for r in rows:
+        if r.o_type == "NamedNode":
+            obj = {"@id": r.o}
+        else:
+            obj = {"@value": r.o}
+            if r.o_datatype:
+                obj["@type"] = r.o_datatype
+            if r.o_lang:
+                obj["@language"] = r.o_lang
+        nodes.append({"@id": r.s, r.p: [obj]})
+    tmp = tempfile.mkdtemp(prefix="jsonld_rt_")
+    path = os.path.join(tmp, "orders.jsonld")
+    with open(path, "w") as f:
+        _json.dump(nodes, f)
+    return read_rdf(spark, path).select(
+        "s_type", "s", "p", "o_type", "o", "o_datatype", "o_lang"
+    )
+
+
+def q_source_turtle_multifile(spark, sf_dir):
+    """Distributed multi-file parse e2e: the order quads split across 8
+    .ttl files (N-Triples lines are valid Turtle), read back through the
+    executor-side wholeTextFiles path (sources/driverfile.py) — the gate
+    exercises the parallel parse, per-file base handling, and file-major
+    seq reassembly, not just the single-file driver path."""
+    import os
+    import tempfile
+
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import (
+        read_rdf,
+        serialize_nquads,
+    )
+
+    lines = [
+        r.line
+        for r in serialize_nquads(TD.order_quads(spark, sf_dir)).select("line").collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="ttl_multi_")
+    n_files = 8
+    for i in range(n_files):
+        with open(os.path.join(tmp, f"part{i}.ttl"), "w") as f:
+            f.write("\n".join(lines[i::n_files]) + "\n")
+    return read_rdf(spark, tmp).select(
+        "s_type", "s", "p", "o_type", "o", "o_datatype", "o_lang"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dataset summaries (aggregations)
 # ---------------------------------------------------------------------------
@@ -578,6 +638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matcher_term_value": q_matcher_term_value,
         "sink_iri_to_path": q_sink_iri_to_path,
         "source_nquads_roundtrip": q_source_nquads_roundtrip,
+        "source_jsonld_roundtrip": q_source_jsonld_roundtrip,
+        "source_turtle_multifile": q_source_turtle_multifile,
         "pipeline_spec": q_pipeline_spec,
         "pipeline_spec_summary": q_pipeline_spec_summary,
         "kg_entity_link": q_kg_entity_link,
@@ -1158,6 +1220,14 @@ def oracle_sql() -> dict[str, str]:
             FROM stripped
         """,
         "source_nquads_roundtrip": f"""
+            WITH quads AS ({_ORDER_QUADS})
+            SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
+        """,
+        "source_jsonld_roundtrip": f"""
+            WITH quads AS ({_ORDER_QUADS})
+            SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
+        """,
+        "source_turtle_multifile": f"""
             WITH quads AS ({_ORDER_QUADS})
             SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
         """,
