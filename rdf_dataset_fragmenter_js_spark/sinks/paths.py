@@ -160,6 +160,45 @@ def write_fragment_nquads(routed_with_path: DataFrame, output_dir: str) -> DataF
     )
 
 
+def append_fragment_nquads(routed_with_path: DataFrame, output_dir: str) -> DataFrame:
+    """Like :func:`write_fragment_nquads` but APPENDS to each fragment file
+    — the incremental (eagerFlushing) write shape: every micro-batch adds
+    its quads to the files its docs map to, exactly like the reference's
+    per-file append streams (``ParallelFileWriter.ts:51-69``).
+
+    Same local/shared-filesystem requirement as the overwrite variant.
+    Appends are at-least-once under micro-batch replay (a batch that fails
+    mid-write and restarts re-appends its quads) — the parquet sink path is
+    the exactly-once option."""
+    import os as _os
+
+    import pandas as pd
+
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import serialize_nquads
+
+    master = routed_with_path.sparkSession.conf.get("spark.master", "")
+    if master and not master.startswith("local"):
+        raise NotImplementedError(
+            "append_fragment_nquads appends per-fragment files via the local "
+            f"filesystem; master={master!r} is not local — use the parquet "
+            "sink (outputFormat='parquet') for non-local deployments"
+        )
+
+    lines = serialize_nquads(routed_with_path).select("path", "line")
+
+    def append_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = pdf["path"].iloc[0]
+        target = _os.path.join(output_dir, rel)
+        _os.makedirs(_os.path.dirname(target), exist_ok=True)
+        with open(target, "a") as f:
+            f.write("\n".join(pdf["line"]) + "\n")
+        return pd.DataFrame({"path": [rel], "n_quads": [len(pdf)]})
+
+    return lines.groupBy("path").applyInPandas(
+        append_group, schema="path string, n_quads long"
+    )
+
+
 def sink_csv(routed: DataFrame, columns: list[str], path: str) -> None:
     """``QuadSinkCsv`` (``lib/io/QuadSinkCsv.ts:42-60``): write selected quad
     term values as CSV with header; single file for parity with the

@@ -76,45 +76,77 @@ def stream_pipeline_spec(
     directory. Returns the started StreamingQuery (caller awaits/stops).
 
     ``spec`` is the same componentsjs-shaped spec as ``run_pipeline_spec``;
-    the source ``filePath`` must be a directory (or glob) of ``.nq``/``.nt``
-    files, and the sink must be a ``QuadSinkFile`` (parquet append,
-    partitioned by mapped path)."""
+    the source is a ``QuadSourceFile`` (directory/glob of ``.nq``/``.nt``
+    files) or a ``QuadSourceComposite`` of them (per-child ``baseIRI``
+    honored), and the sink a ``QuadSinkFile`` — ``outputFormat='parquet'``
+    appends exactly-once partitioned parquet; the default N-Quads layout
+    appends per-fragment ``.nq`` files (at-least-once under batch replay,
+    like the reference's append streams)."""
+    from pyspark.sql import functions as F
+
     src = spec["quadSource"]
-    if src["@type"] != "QuadSourceFile":
+    if src["@type"] == "QuadSourceFile":
+        children = [src]
+    elif src["@type"] == "QuadSourceComposite":
+        children = list(src["sources"])
+        for c in children:
+            if c["@type"] != "QuadSourceFile":
+                raise NotImplementedError(
+                    "stream_pipeline_spec composite sources must be "
+                    "QuadSourceFile children (nested composites: flatten)"
+                )
+    else:
         raise NotImplementedError(
-            "stream_pipeline_spec consumes one append-only QuadSourceFile "
-            "directory (composite sources: union upstream into one dir)"
+            f"stream_pipeline_spec cannot consume source @type {src['@type']!r}"
         )
-    src_path = src["filePath"]
-    _check_nquads_path(src_path)
+    for c in children:
+        _check_nquads_path(c["filePath"])
     sink = spec["quadSink"]
-    if sink["@type"] != "QuadSinkFile" or sink.get("outputFormat") != "parquet":
+    if sink["@type"] != "QuadSinkFile":
         raise NotImplementedError(
-            "stream_pipeline_spec writes the partitioned-parquet QuadSinkFile "
-            "layout — set outputFormat='parquet' explicitly (the batch "
-            "runner's default N-Quads file layout cannot append "
-            "incrementally); compose other sinks over the written table"
+            "stream_pipeline_spec writes QuadSinkFile layouts only "
+            "(parquet or per-fragment N-Quads); compose other sinks over "
+            "the written table"
         )
+    parquet_sink = sink.get("outputFormat") == "parquet"
     # Build once; the per-batch closure re-applies the same lazy combinators
     # to each micro-batch frame (they are pure DataFrame -> DataFrame).
     transformer_specs = spec.get("transformers", [])
     strategy_spec = spec["fragmentationStrategy"]
-    base_iri = src.get("baseIRI")
+    base_iris = [c.get("baseIRI") for c in children]
 
     def process(batch_lines: DataFrame, batch_id: int) -> None:
-        df = parse_nquads_lines(batch_lines)
-        if base_iri:
-            # same relative-IRI semantics as the batch read_rdf path
-            df = resolve_terms_against_base(df, base_iri)
+        parts = []
+        for i, base_iri in enumerate(base_iris):
+            part = parse_nquads_lines(
+                batch_lines.filter(F.col("__src") == i).select("value")
+            )
+            if base_iri:
+                # same relative-IRI semantics as the batch read_rdf path
+                part = resolve_terms_against_base(part, base_iri)
+            parts.append(part)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         for tr in transformer_specs:
             df = build_transformer(tr)(df)
         routed = build_strategy(strategy_spec)(df)
         with_path = map_doc_to_path(
             routed, sink["iriToPath"], file_extension=sink.get("fileExtension")
         )
-        with_path.write.mode("append").partitionBy("path").parquet(output_dir)
+        if parquet_sink:
+            with_path.write.mode("append").partitionBy("path").parquet(output_dir)
+        else:
+            from rdf_dataset_fragmenter_js_spark.sinks.paths import (
+                append_fragment_nquads,
+            )
 
-    lines = spark.readStream.text(src_path)
+            append_fragment_nquads(with_path, output_dir).collect()
+
+    lines = None
+    for i, c in enumerate(children):
+        part = spark.readStream.text(c["filePath"]).withColumn("__src", F.lit(i))
+        lines = part if lines is None else lines.unionByName(part)
     writer = (
         lines.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

@@ -62,3 +62,51 @@ def test_stream_pipeline_incremental_and_resumable(spark, tmp_path):
     # idempotent when nothing new arrived
     _await(stream_pipeline_spec(spark, spec, out, ckpt))
     assert spark.read.parquet(out).count() == 3
+
+
+def test_stream_composite_sources_and_nquads_sink(spark, tmp_path):
+    """Round-3 breadth: a QuadSourceComposite of two append-only dirs (one
+    with baseIRI) streamed into the per-fragment N-Quads file layout, with
+    checkpoint resume appending (not rewriting) fragment files."""
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import read_nquads
+    from rdf_dataset_fragmenter_js_spark.streaming.fragment import stream_pipeline_spec
+
+    a = tmp_path / "src_a"
+    b = tmp_path / "src_b"
+    a.mkdir(), b.mkdir()
+    (a / "1.nq").write_text("<http://ex.org/s1> <http://ex.org/p> <http://ex.org/o1> .\n")
+    (b / "1.nq").write_text("<s2> <http://ex.org/p> <o2> .\n")  # relative, needs baseIRI
+    spec = {
+        "quadSource": {
+            "@type": "QuadSourceComposite",
+            "sources": [
+                {"@type": "QuadSourceFile", "filePath": str(a)},
+                {
+                    "@type": "QuadSourceFile",
+                    "filePath": str(b),
+                    "baseIRI": "http://ex.org/",
+                },
+            ],
+        },
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkFile",
+            "iriToPath": {"^http://ex\\.org/": "frags/"},
+            "fileExtension": ".nq",
+        },
+    }
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream_pipeline_spec(spark, spec, out, ckpt).awaitTermination(120)
+
+    got = read_nquads(spark, out + "/frags/*.nq")
+    assert {(r.s, r.o) for r in got.collect()} == {
+        ("http://ex.org/s1", "http://ex.org/o1"),
+        ("http://ex.org/s2", "http://ex.org/o2"),
+    }
+
+    # incremental append: a new file for an EXISTING fragment must append
+    (a / "2.nq").write_text("<http://ex.org/s1> <http://ex.org/p> <http://ex.org/o3> .\n")
+    stream_pipeline_spec(spark, spec, out, ckpt).awaitTermination(120)
+    s1_lines = (tmp_path / "out" / "frags" / "s1.nq").read_text().strip().splitlines()
+    assert len(s1_lines) == 2  # appended, not rewritten
