@@ -1,6 +1,8 @@
 """RDF/XML source (``lib/io/QuadSourceFile.ts:19-25`` delegates ``.rdf`` to
-rdf-parse). Driver-side like the Turtle parser — RDF/XML is a nested XML
-document, not line-splittable — built on stdlib ``xml.etree``.
+rdf-parse). Whole-file like the Turtle parser — RDF/XML is a nested XML
+document, not line-splittable — built on stdlib ``xml.etree``; single
+files parse on the driver, globs/directories in parallel on executors
+(``sources/driverfile.py``).
 
 Grammar coverage (the RDF/XML constructs that appear in real ontology /
 vocabulary files): ``rdf:RDF`` roots, ``rdf:Description`` and typed node
@@ -235,10 +237,10 @@ def parse_rdfxml(text: str, base_iri: str | None = None) -> list[tuple]:
 
 
 def read_rdfxml(spark, path: str, base_iri: str | None = None):
-    """``QuadSourceFile`` for ``.rdf``/``.owl`` — driver-parsed (nested XML
-    is not splittable), distributed as rows; accepts a file, glob, or
-    directory. ``base_iri`` defaults per file to its URI like rdf-parse's
-    ``path`` option."""
+    """``QuadSourceFile`` for ``.rdf``/``.owl`` — whole-file parsed (nested
+    XML is not splittable): one file on the driver, globs/directories in
+    parallel on executors. ``base_iri`` defaults per file to its URI like
+    rdf-parse's ``path`` option."""
     from rdf_dataset_fragmenter_js_spark.sources.driverfile import read_driver_parsed
 
     return read_driver_parsed(

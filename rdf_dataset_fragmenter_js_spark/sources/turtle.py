@@ -4,10 +4,11 @@ real configs).
 
 Turtle is NOT line-splittable (prefix state, multi-line literals, nested
 blank-node property lists), so unlike the vectorized N-Quads reader this
-parser runs on the DRIVER and distributes the parsed rows. That matches the
-format's actual use in reference configs — config-sized ontology/static
-files — and a size guard warns when a file is large enough that converting
-to N-Quads (splittable, vectorized) is the right move.
+parser works whole-file: a single file parses on the DRIVER (the
+config-sized ontology case), while globs/directories parse in PARALLEL on
+executors — one task per file via ``sources/driverfile.py``. A size guard
+warns when a single file is large enough that converting to N-Quads
+(splittable, vectorized) is the right move.
 
 Grammar coverage (W3C Turtle): ``@prefix``/``@base`` + SPARQL-style
 ``PREFIX``/``BASE``, prefixed names with ``\\``-escaped and ``%``-encoded
@@ -396,10 +397,10 @@ def parse_turtle(text: str, base_iri: str | None = None) -> list[tuple]:
 
 
 def read_turtle(spark, path: str, base_iri: str | None = None):
-    """``QuadSourceFile`` for ``.ttl`` — driver-parsed (Turtle is not
-    line-splittable), distributed as rows; accepts a file, glob, or
-    directory. ``base_iri`` defaults per file to its URI, like rdf-parse's
-    ``path`` option."""
+    """``QuadSourceFile`` for ``.ttl`` — whole-file parsed (Turtle is not
+    line-splittable): one file on the driver, globs/directories in
+    parallel on executors. ``base_iri`` defaults per file to its URI, like
+    rdf-parse's ``path`` option."""
     from rdf_dataset_fragmenter_js_spark.sources.driverfile import read_driver_parsed
 
     return read_driver_parsed(
