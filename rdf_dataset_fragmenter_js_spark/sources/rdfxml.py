@@ -12,9 +12,10 @@ references, ``rdf:datatype`` and (scoped, inherited) ``xml:lang`` literals,
 scoped ``xml:base``, property attributes on node and property elements,
 ``rdf:parseType="Resource"``, ``rdf:parseType="Collection"``
 (rdf:first/rest/nil chains, same encoding as the Turtle parser's
-collections), and ``rdf:li`` container membership. Reification attributes
-and ``parseType="Literal"`` fail fast with a targeted message rather than
-silently mis-parsing.
+collections), ``rdf:ID`` reification on property elements (rdf:Statement
++ subject/predicate/object quads, §7.3), and ``rdf:li`` container
+membership. ``parseType="Literal"`` fails fast with a targeted message
+rather than silently mis-parsing XML content.
 """
 
 from __future__ import annotations
@@ -132,10 +133,21 @@ class _Parser:
         else:
             pred = uri + local
 
-        if prop.get(_RDF + "ID") is not None:
-            raise NotImplementedError(
-                "rdf:ID reification on property elements is not supported"
-            )
+        rid = prop.get(_RDF + "ID")
+        reify = self._resolve("#" + rid, base) if rid is not None else None
+
+        def emit_stmt(o_type: str, o_val: str, dt=None, ol=None) -> None:
+            """The property element's main statement, plus its reification
+            quads when rdf:ID is present (RDF/XML §7.3: the statement IRI
+            is #ID resolved against the in-scope base, typed rdf:Statement
+            with subject/predicate/object quads)."""
+            self._emit(subj[0], subj[1], pred, o_type, o_val, dt, ol)
+            if reify is not None:
+                self._emit("NamedNode", reify, RDF_NS + "type", "NamedNode", RDF_NS + "Statement")
+                self._emit("NamedNode", reify, RDF_NS + "subject", subj[0], subj[1])
+                self._emit("NamedNode", reify, RDF_NS + "predicate", "NamedNode", pred)
+                self._emit("NamedNode", reify, RDF_NS + "object", o_type, o_val, dt, ol)
+
         parse_type = prop.get(_RDF + "parseType")
         if parse_type is not None and parse_type not in ("Resource", "Collection"):
             raise NotImplementedError(
@@ -156,7 +168,7 @@ class _Parser:
 
         if parse_type == "Resource":
             obj = ("BlankNode", self._fresh_bnode())
-            self._emit(subj[0], subj[1], pred, obj[0], obj[1])
+            emit_stmt(obj[0], obj[1])
             self.properties(prop, obj, base, lang)
             return li_counter
         if parse_type == "Collection":
@@ -165,10 +177,10 @@ class _Parser:
             # '( … )' (sources/turtle.py collections)
             items = [self.node(child, base, lang) for child in prop]
             if not items:
-                self._emit(subj[0], subj[1], pred, "NamedNode", RDF_NS + "nil")
+                emit_stmt("NamedNode", RDF_NS + "nil")
                 return li_counter
             heads = [self._fresh_bnode() for _ in items]
-            self._emit(subj[0], subj[1], pred, "BlankNode", heads[0])
+            emit_stmt("BlankNode", heads[0])
             for i, ((it_type, it_val), head) in enumerate(zip(items, heads)):
                 self._emit("BlankNode", head, RDF_NS + "first", it_type, it_val)
                 if i + 1 < len(heads):
@@ -191,7 +203,7 @@ class _Parser:
                 obj = ("BlankNode", node_id)
             else:
                 obj = ("BlankNode", self._fresh_bnode())
-            self._emit(subj[0], subj[1], pred, obj[0], obj[1])
+            emit_stmt(obj[0], obj[1])
             for attr, value in prop_attrs:
                 a_uri, a_local = _split_tag(attr)
                 if a_uri + a_local == RDF_NS + "type":
@@ -208,14 +220,14 @@ class _Parser:
                 )
             for child in children:  # spec: one node element; tolerate several
                 obj = self.node(child, base, lang)
-                self._emit(subj[0], subj[1], pred, obj[0], obj[1])
+                emit_stmt(obj[0], obj[1])
             return li_counter
         # literal property
         text = prop.text or ""
         if datatype is not None:
-            self._emit(subj[0], subj[1], pred, "Literal", text, datatype, None)
+            emit_stmt("Literal", text, datatype, None)
         else:
-            self._emit(subj[0], subj[1], pred, "Literal", text, None, lang)
+            emit_stmt("Literal", text, None, lang)
         return li_counter
 
 

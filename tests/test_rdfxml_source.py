@@ -142,3 +142,25 @@ def test_driver_sources_accept_globs_and_dirs(spark, tmp_path):
     from rdf_dataset_fragmenter_js_spark.sources.turtle import read_turtle
 
     assert read_turtle(spark, str(d)).count() == 2  # directory expansion
+
+
+def test_rdfxml_property_reification():
+    """rdf:ID on a property element reifies the statement (RDF/XML §7.3):
+    base triple + rdf:Statement/subject/predicate/object quads, with the
+    statement IRI resolved against the in-scope base."""
+    xml = (
+        f'<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:ex="{E}" xml:base="http://b.org/doc">'
+        f'<rdf:Description rdf:about="{E}s">'
+        f'<ex:p rdf:ID="st1" rdf:resource="{E}o"/>'
+        f'<ex:q rdf:ID="st2">hello</ex:q>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    vals = {(q[0], q[1], q[2], q[3], q[4], q[5]) for q in parse_rdfxml(xml)}
+    st1, st2 = "http://b.org/doc#st1", "http://b.org/doc#st2"
+    assert ("NamedNode", E + "s", E + "p", "NamedNode", E + "o", None) in vals
+    assert ("NamedNode", st1, RDF_NS + "type", "NamedNode", RDF_NS + "Statement", None) in vals
+    assert ("NamedNode", st1, RDF_NS + "subject", "NamedNode", E + "s", None) in vals
+    assert ("NamedNode", st1, RDF_NS + "predicate", "NamedNode", E + "p", None) in vals
+    assert ("NamedNode", st1, RDF_NS + "object", "NamedNode", E + "o", None) in vals
+    assert ("NamedNode", st2, RDF_NS + "object", "Literal", "hello", None) in vals
+    assert len(vals) == 10  # 2 base triples + 4 reification quads each
