@@ -328,3 +328,60 @@ def test_imurmurhash_astral_uses_surrogate_pairs():
     assert imurmurhash(s) == int(imurmurhash_batch([s])[0])
     # differs from hashing the raw codepoint sequence (pre-fix behavior)
     assert imurmurhash(s) != imurmurhash("ab")
+
+
+def test_murmur_duckdb_oracle_matches_python():
+    """The recursive-CTE MurmurHash3 used by the matcher_term_value /
+    summary_bloom DuckDB oracles (__spark_entry__._murmur_ctes) equals the
+    Python reference over random printable-ASCII strings of every tail
+    length (the gate corpus is ASCII, where JS code units == bytes)."""
+    import random
+    import string
+
+    import duckdb
+
+    from __spark_entry__ import _murmur_ctes
+    from rdf_dataset_fragmenter_js_spark.functions.hashing import imurmurhash
+
+    rng = random.Random(20260817)
+    tests = {"", "a", "ab", "abc", "abcd", "9973", "http://ex.org/pods/1/"}
+    tests |= {
+        "".join(rng.choices(string.printable[:95], k=rng.randint(1, 80)))
+        for _ in range(80)
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vals(v VARCHAR)")
+    con.executemany("INSERT INTO vals VALUES (?)", [(t,) for t in tests])
+    sql = "WITH RECURSIVE " + _murmur_ctes("vals").lstrip() + "\nSELECT v, h FROM murmur"
+    got = dict(con.sql(sql).fetchall())
+    assert got == {t: imurmurhash(t) for t in tests}
+
+
+def test_fnv_duckdb_oracle_matches_python():
+    """The per-byte FNV-1a fold in the summary_bloom oracle equals the
+    bloem-compatible Python implementation for both seed prefixes."""
+    import duckdb
+
+    from rdf_dataset_fragmenter_js_spark.functions.hashing import _fnv1a32
+
+    tests = ["", "a", "http://ex.org/vocab#status", "x" * 50]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vals(v VARCHAR)")
+    con.executemany("INSERT INTO vals VALUES (?)", [(t,) for t in tests])
+    hs0, hw0 = _fnv1a32(b"S"), _fnv1a32(b"W")
+    sql = f"""
+    WITH RECURSIVE f_iter AS (
+      SELECT v, length(v) AS n, 0 AS i,
+             CAST({hs0} AS BIGINT) AS hs, CAST({hw0} AS BIGINT) AS hw
+      FROM vals
+      UNION ALL
+      SELECT v, n, i + 1,
+             ((xor(hs, ord(substr(v, i+1, 1))) * 16777619) & 4294967295),
+             ((xor(hw, ord(substr(v, i+1, 1))) * 16777619) & 4294967295)
+      FROM f_iter WHERE i < n
+    )
+    SELECT v, hs, hw FROM f_iter WHERE i = n"""
+    got = {v: (hs, hw) for v, hs, hw in con.sql(sql).fetchall()}
+    assert got == {
+        t: (_fnv1a32(b"S" + t.encode()), _fnv1a32(b"W" + t.encode())) for t in tests
+    }
