@@ -159,6 +159,29 @@ def q_transform_blank_to_named(spark, sf_dir):
     return out.select("s_type", "s", "p", "o_type", "o")
 
 
+def q_transform_blank_to_fragment(spark, sf_dir):
+    """QuadTransformerBlankToFragment — the reference's first-occurrence
+    quirk (only the MINTING quad's object is rewritten; later references
+    pass through) expressed as seq-keyed joins, value-checked against a
+    min_by/seq SQL twin."""
+    from rdf_dataset_fragmenter_js_spark.operators.stateful import blank_to_fragment
+
+    quads = TD.bnode_quads(spark, sf_dir)
+    return blank_to_fragment(quads).select("s_type", "s", "p", "o_type", "o")
+
+
+def q_matcher_resource_type(spark, sf_dir):
+    """QuadMatcherResourceType with matchFullResource: every quad whose
+    SUBJECT is rdf:type-matched — the semi-join form of the reference's
+    'remember typed subjects' stream state. Selective here: the bnode-graph
+    quads join in untyped subjects that must be excluded."""
+    from rdf_dataset_fragmenter_js_spark.operators.matchers import match_resource_type
+
+    quads = TD.order_quads(spark, sf_dir).unionByName(TD.bnode_quads(spark, sf_dir))
+    marker = match_resource_type("Order$", match_full_resource=True)
+    return marker(quads).filter(F.col("__match")).select("s_type", "s", "p", "o_type", "o")
+
+
 def q_transform_append_quad(spark, sf_dir):
     quads = TD.order_quads(spark, sf_dir)
     out = T.append_quad(
@@ -637,6 +660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_solid_type_index": q_transform_solid_type_index,
         "matcher_term_value": q_matcher_term_value,
         "sink_iri_to_path": q_sink_iri_to_path,
+        "transform_blank_to_fragment": q_transform_blank_to_fragment,
+        "matcher_resource_type": q_matcher_resource_type,
         "source_nquads_roundtrip": q_source_nquads_roundtrip,
         "source_jsonld_roundtrip": q_source_jsonld_roundtrip,
         "source_turtle_multifile": q_source_turtle_multifile,
@@ -1127,6 +1152,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT s, p, o_type, o FROM quads
             UNION ALL
             SELECT s, p, o_type, o FROM quads
+        """,
+        "transform_blank_to_fragment": f"""
+            WITH quads AS ({_BNODE_QUADS}),
+            fo AS (
+              SELECT o AS bnode, min(seq) AS first_seq,
+                     split_part(min_by(s, seq), '#', 1) || '#' || o AS fragment_iri
+              FROM quads
+              WHERE s_type = 'NamedNode' AND o_type = 'BlankNode'
+              GROUP BY o
+            ),
+            obj_rewritten AS (
+              SELECT q.s_type, q.s, q.p,
+                     CASE WHEN f.bnode IS NOT NULL THEN 'NamedNode' ELSE q.o_type END AS o_type,
+                     CASE WHEN f.bnode IS NOT NULL THEN f.fragment_iri ELSE q.o END AS o
+              FROM quads q
+              LEFT JOIN fo f
+                ON q.o = f.bnode AND q.seq = f.first_seq AND q.o_type = 'BlankNode'
+            )
+            SELECT CASE WHEN r.s_type = 'BlankNode' THEN 'NamedNode' ELSE r.s_type END AS s_type,
+                   CASE WHEN r.s_type = 'BlankNode' THEN f2.fragment_iri ELSE r.s END AS s,
+                   r.p, r.o_type, r.o
+            FROM obj_rewritten r
+            LEFT JOIN fo f2 ON r.s = f2.bnode AND r.s_type = 'BlankNode'
+            WHERE r.s_type <> 'BlankNode' OR f2.bnode IS NOT NULL
+        """,
+        "matcher_resource_type": f"""
+            WITH quads AS (
+              SELECT * FROM ({_ORDER_QUADS})
+              UNION ALL
+              SELECT * FROM ({_BNODE_QUADS})
+            ),
+            typed AS (
+              SELECT DISTINCT s FROM quads
+              WHERE p = '{RDF_TYPE}' AND regexp_matches(o, 'Order$')
+            )
+            SELECT q.s_type, q.s, q.p, q.o_type, q.o
+            FROM quads q JOIN typed t ON q.s = t.s
         """,
         "transform_blank_to_named": f"""
             WITH quads AS ({_BNODE_QUADS})
