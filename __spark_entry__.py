@@ -934,7 +934,7 @@ def _murmur_ctes(src: str) -> str:
         mm_f3 AS (SELECT v, {_mul32_sql('h', 2246822507)} AS h FROM mm_f2),
         mm_f4 AS (SELECT v, xor(h, h >> 13) AS h FROM mm_f3),
         mm_f5 AS (SELECT v, {_mul32_sql('h', 3266489909)} AS h FROM mm_f4),
-        murmur AS (SELECT v, xor(h, h >> 16) AS h FROM mm_f5)"""
+        murmur AS MATERIALIZED (SELECT v, xor(h, h >> 16) AS h FROM mm_f5)"""
 
 
 def _matcher_term_value_oracle() -> str:
@@ -978,7 +978,7 @@ def _summary_bloom_oracle() -> str:
           SELECT regexp_extract(s, '{pat}', 1) AS dataset, *
           FROM quads WHERE regexp_matches(s, '{pat}')
         ),
-        proj AS (
+        proj AS MATERIALIZED (
           SELECT dataset, 'resource' AS kind, s AS key, p AS member FROM dq
           UNION ALL SELECT dataset, 'property', p, s FROM dq
           UNION ALL SELECT dataset, 'resource', s, o FROM dq WHERE o_type = 'NamedNode'
@@ -997,18 +997,18 @@ def _summary_bloom_oracle() -> str:
                  ((xor(hw, ord(substr(v, i+1, 1))) * 16777619) & {_M32})
           FROM f_iter WHERE i < n
         ),
-        fnv AS (SELECT v, hs, hw FROM f_iter WHERE i = n),
-        positions AS (
+        fnv AS MATERIALIZED (SELECT v, hs, hw FROM f_iter WHERE i = n),
+        positions AS MATERIALIZED (
           SELECT v, hs % 64 AS pos FROM fnv
           UNION SELECT v, (hs + hw) % 64 FROM fnv
         ),
-        groups AS (
+        groups AS MATERIALIZED (
           SELECT p.dataset, p.kind, p.key, {byte_hex} AS hex
           FROM (SELECT DISTINCT dataset, kind, key, pos
                 FROM proj JOIN positions ON proj.member = positions.v) p
           GROUP BY p.dataset, p.kind, p.key
         ),
-        g2 AS (
+        g2 AS MATERIALIZED (
           SELECT dataset, kind, key, to_base64(unhex(hex)) AS b64,
                  dataset AS location,
                  CASE WHEN kind = 'property' THEN '{MEM}projectedProperty'
@@ -1021,12 +1021,12 @@ def _summary_bloom_oracle() -> str:
           UNION SELECT DISTINCT dataset || '{MEM}BloomFilter' || projection || key FROM g2
         ),
         {_murmur_ctes('vals')},
-        g3 AS (
+        g3 AS MATERIALIZED (
           SELECT g2.*,
                  location || '#' || format('{{:x}}', mh.h) AS hf
           FROM g2 JOIN murmur mh ON mh.v = g2.dataset || '{MEM}HashFunction'
         ),
-        g4 AS (
+        g4 AS MATERIALIZED (
           SELECT g3.*,
                  location || '#' || format('{{:x}}', mc.h) AS coll,
                  location || '#' || format('{{:x}}', mb.h) AS filt
@@ -1034,7 +1034,7 @@ def _summary_bloom_oracle() -> str:
           JOIN murmur mc ON mc.v = g3.dataset || '{MEM}MemberCollection' || g3.projection || g3.key
           JOIN murmur mb ON mb.v = g3.dataset || '{MEM}BloomFilter' || g3.projection || g3.key
         ),
-        per_dataset AS (SELECT DISTINCT dataset, location, hf FROM g4)
+        per_dataset AS MATERIALIZED (SELECT DISTINCT dataset, location, hf FROM g4)
         SELECT location AS doc, hf AS s, '{rdf_type}' AS p, 'NamedNode' AS o_type, '{MEM}HashFunction' AS o FROM per_dataset
         UNION ALL SELECT location, hf, '{rdf_type}', 'NamedNode', '{MEM}FowlerNollVo' FROM per_dataset
         UNION ALL SELECT location, hf, '{MEM}hashSize', 'Literal', '2' FROM per_dataset
