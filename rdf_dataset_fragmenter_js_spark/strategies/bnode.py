@@ -100,23 +100,29 @@ def bnode_owners(
     out the driver BFS at ~300k links, but inside the full routing query
     the two paths tie at that size (A/B, warm: 16.4 s vs 16.5 s) — the
     1M default keeps the simpler path where it is not measurably worse."""
-    # Base: named key → bnode value  (FragmentationBlankNodeBuffer.ts:53-64)
-    # Both link tables are checkpointed once up front: the quad scan runs
-    # exactly once per table, the threshold probe and the driver transfer
-    # read the materialized rows, and the distributed loop re-joins `edges`
-    # every iteration without re-deriving it from the quads.
-    base = (
-        quads.filter(_is(F.col(key_type), NAMED_NODE) & _is(F.col(value_type), BLANK_NODE))
-        .select(F.col(value).alias("bnode"), F.col(key).alias("owner"))
+    # Both link tables come out of ONE pass over the quads (they share the
+    # bnode-valued filter and differ only in the key's term type), so the
+    # quad-generation plan materializes exactly once into one checkpoint;
+    # base/edges are projections over the materialized rows, the threshold
+    # probe and driver transfer read them directly, and the distributed
+    # loop re-joins `edges` every iteration without re-deriving the quads.
+    links = (
+        quads.filter(_is(F.col(value_type), BLANK_NODE))
+        .select(
+            F.col(key_type).alias("__kt"),
+            F.col(key).alias("__k"),
+            F.col(value).alias("__v"),
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Base: named key → bnode value  (FragmentationBlankNodeBuffer.ts:53-64)
+    base = links.filter(_is(F.col("__kt"), NAMED_NODE)).select(
+        F.col("__v").alias("bnode"), F.col("__k").alias("owner")
+    )
     # Edges among buffered quads: bnode key → bnode value (chain links, :83)
-    edges = (
-        quads.filter(_is(F.col(key_type), BLANK_NODE) & _is(F.col(value_type), BLANK_NODE))
-        .select(F.col(key).alias("src"), F.col(value).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = links.filter(_is(F.col("__kt"), BLANK_NODE)).select(
+        F.col("__k").alias("src"), F.col("__v").alias("dst")
     )
 
     if driver_threshold:
