@@ -32,6 +32,7 @@ from __future__ import annotations
 import glob as _glob
 import logging
 import os
+import re
 from collections.abc import Callable
 
 logger = logging.getLogger(__name__)
@@ -42,10 +43,26 @@ LARGE_FILE_BYTES = 128 * 1024 * 1024
 _BNODE_TYPE = "BlankNode"
 
 
-def expand_paths(path: str, extensions: tuple[str, ...]) -> list[str]:
+#: non-local URI schemes expanded through the Hadoop FileSystem API
+_REMOTE_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+
+
+def expand_paths(
+    path: str, extensions: tuple[str, ...], spark=None
+) -> list[str]:
     """One file path, a glob, or a directory → ordered concrete file list
     (keeps the N-Quads reader's glob/directory ergonomics for the
-    driver-side formats)."""
+    driver-side formats). Local paths expand via the OS; scheme-qualified
+    paths (hdfs://, s3a://, …) via the Hadoop FileSystem API when a
+    ``spark`` session is given — the 100 TB inputs are not on the driver's
+    local disk."""
+    if _REMOTE_SCHEME.match(path) and not path.startswith("file:"):
+        if spark is None:
+            raise ValueError(
+                f"remote path {path!r} needs a SparkSession to expand "
+                "(Hadoop FileSystem listing)"
+            )
+        return _expand_hadoop(spark, path, extensions)
     if any(c in path for c in "*?["):
         files = sorted(_glob.glob(path))
     elif os.path.isdir(path):
@@ -61,6 +78,31 @@ def expand_paths(path: str, extensions: tuple[str, ...]) -> list[str]:
     return files
 
 
+def _expand_hadoop(spark, path: str, extensions: tuple[str, ...]) -> list[str]:
+    """Glob/list a scheme-qualified path through Hadoop's FileSystem (the
+    same machinery ``wholeTextFiles`` uses to read it afterwards)."""
+    sc = spark.sparkContext
+    jvm_path = sc._jvm.org.apache.hadoop.fs.Path
+    conf = sc._jsc.hadoopConfiguration()
+    p = jvm_path(path)
+    fs = p.getFileSystem(conf)
+    if any(c in path for c in "*?["):
+        statuses = fs.globStatus(p) or []
+        files = [str(st.getPath()) for st in statuses if st.isFile()]
+    elif fs.isDirectory(p):
+        files = [
+            str(st.getPath())
+            for st in fs.listStatus(p)
+            if st.isFile() and str(st.getPath()).lower().endswith(extensions)
+        ]
+    else:
+        files = [path]
+    files.sort()
+    if not files:
+        raise FileNotFoundError(f"no files match {path!r}")
+    return files
+
+
 def _parse_file_rows(
     text: str,
     base_iri: str | None,
@@ -70,7 +112,12 @@ def _parse_file_rows(
 ) -> list[tuple]:
     """Parse one document → quad tuples (seq local to the file), with all
     blank-node labels namespaced by ``bnode_prefix`` when given."""
-    base = base_iri if base_iri is not None else "file://" + os.path.abspath(file_path)
+    if base_iri is not None:
+        base = base_iri
+    elif _REMOTE_SCHEME.match(file_path):
+        base = file_path  # already a URI (hdfs://, s3a://, …)
+    else:
+        base = "file://" + os.path.abspath(file_path)
     rows = parse_fn(text, base)
     if bnode_prefix is None:
         return rows
@@ -94,6 +141,16 @@ def _strip_file_scheme(uri: str) -> str:
     return uri
 
 
+def _path_key(path_or_uri: str) -> str:
+    """Normalize a path for matching the enumerated file list against
+    ``wholeTextFiles`` keys: drop any ``scheme://authority`` prefix, keep
+    the path component; absolutize plain local paths."""
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:(//[^/]*)?(/.*)$", path_or_uri)
+    if m:
+        return m.group(2)
+    return os.path.abspath(path_or_uri)
+
+
 def read_driver_parsed(
     spark,
     path: str,
@@ -108,7 +165,7 @@ def read_driver_parsed(
     rdf-parse's ``path`` option."""
     from rdf_dataset_fragmenter_js_spark.quads import QUAD_SCHEMA
 
-    files = expand_paths(path, extensions)
+    files = expand_paths(path, extensions, spark=spark)
     for file_path in files:
         try:
             size = os.path.getsize(file_path)
@@ -122,7 +179,7 @@ def read_driver_parsed(
                 file_path,
                 size >> 20,
             )
-    if len(files) == 1:
+    if len(files) == 1 and not _REMOTE_SCHEME.match(files[0]):
         with open(files[0], encoding="utf-8") as f:
             text = f.read()
         rows = _parse_file_rows(text, base_iri, files[0], parse_fn, None)
@@ -141,7 +198,7 @@ def _read_distributed(spark, files, base_iri, parse_fn, format_name):
     from rdf_dataset_fragmenter_js_spark.quads import QUAD_SCHEMA
 
     sc = spark.sparkContext
-    index_of = {os.path.abspath(f): i for i, f in enumerate(files)}
+    index_of = {_path_key(f): i for i, f in enumerate(files)}
     n_files = len(files)
     bc = sc.broadcast((index_of, base_iri))
 
@@ -149,7 +206,7 @@ def _read_distributed(spark, files, base_iri, parse_fn, format_name):
         uri, text = rec
         local_path = _strip_file_scheme(uri)
         idx_map, base = bc.value
-        idx = idx_map.get(os.path.abspath(local_path))
+        idx = idx_map.get(_path_key(local_path))
         if idx is None:
             raise ValueError(
                 f"{format_name}: wholeTextFiles returned unexpected path {uri!r}"

@@ -237,3 +237,37 @@ def test_stream_honors_base_iri(spark, tmp_path):
     assert [(r.s, r.o, r.path) for r in rows] == [
         ("http://pods.local/s1", "http://pods.local/o1", "frags/s1")
     ]
+
+
+def test_remote_path_expansion(spark, tmp_path):
+    """Scheme-qualified paths expand through the Hadoop FileSystem API (the
+    100 TB inputs are not on the driver's local disk); path keys normalize
+    so the enumerated list matches wholeTextFiles URIs."""
+    from rdf_dataset_fragmenter_js_spark.sources.driverfile import (
+        _expand_hadoop,
+        _path_key,
+        expand_paths,
+    )
+
+    d = tmp_path / "remote"
+    d.mkdir()
+    (d / "a.ttl").write_text("<http://s> <http://p> <http://o> .\n")
+    (d / "b.ttl").write_text("<http://s2> <http://p> <http://o> .\n")
+    (d / "skip.txt").write_text("x")
+
+    # Hadoop listing of a directory (file: scheme exercises the same API
+    # hdfs:// and s3a:// go through)
+    got = _expand_hadoop(spark, "file:" + str(d), (".ttl",))
+    assert [p.rsplit("/", 1)[-1] for p in got] == ["a.ttl", "b.ttl"]
+    # glob form
+    got = _expand_hadoop(spark, "file:" + str(d) + "/*.ttl", (".ttl",))
+    assert len(got) == 2
+
+    assert _path_key("hdfs://nn:8020/a/b.ttl") == "/a/b.ttl"
+    assert _path_key("file:/a/b.ttl") == "/a/b.ttl"
+    assert _path_key(str(d / "a.ttl")) == str(d / "a.ttl")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SparkSession"):
+        expand_paths("hdfs://nn/x", (".ttl",))
