@@ -88,6 +88,27 @@ def build_transformer(spec: dict[str, Any]) -> T.Transformer:
         return T.compose(*[build_transformer(s) for s in spec["transformers"]])
     if t == "QuadTransformerDistinct":
         return T.distinct_produced(build_transformer(spec["transformer"]))
+    if t == "QuadTransformerAppendQuad":
+        def template(spec_val):
+            # term templates arrive as componentsjs-typed objects
+            # (TermTemplateStaticNamedNode {value}, TermTemplateQuadComponent
+            # {component}, TermTemplateQuadComponentLiteral
+            # {component, datatype?, language?}) or bare dicts; None copies
+            # the component (lib/transform/termtemplate/*)
+            if spec_val is None:
+                return None
+            d = {k: v for k, v in spec_val.items() if k != "@type"}
+            if spec_val.get("@type") == "TermTemplateQuadComponentLiteral":
+                d["literal"] = True
+            return d
+
+        return T.append_quad(
+            build_matcher(spec["matcher"]),
+            s=template(spec.get("subject")),
+            p=template(spec.get("predicate")),
+            o=template(spec.get("object")),
+            g=template(spec.get("graph")),
+        )
     if t == "QuadTransformerAppendQuadLink":
         return T.append_quad_link(
             build_matcher(spec["matcher"]),

@@ -174,3 +174,58 @@ def test_transform_callback_predicate_field(spark, tmp_path):
         "originalPredicate,mappedPredicate",
         f"{RDF_TYPE},{RDF_TYPE}",
     ]
+
+
+def test_transform_callback_core_first_ordering(spark, tmp_path):
+    """When both the rewritten original AND an appended quad match, the
+    reference emits [rewritten original, appended] — assert that exact
+    order (the core-chain reconstruction, not value sorting: 'P' sorts
+    after 'http://...' so a lexical sort would flip it)."""
+    nq = tmp_path / "d.nq"
+    nq.write_text(f"<http://ldbc/post1> <{RDF_TYPE}> <{VOC}Post> .\n")
+    out_csv = tmp_path / "map.csv"
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": str(nq)},
+        "transformers": [
+            {
+                "@type": "QuadTransformerAppendQuad",
+                "matcher": {
+                    "@type": "QuadMatcherPredicate",
+                    "predicateRegex": "type$",
+                },
+                "predicate": {"value": VOC + "appended"},
+                "object": {"value": "http://marker/x"},
+            }
+        ],
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkFile",
+            "outputFormat": "parquet",
+            "iriToPath": {"^http://": str(tmp_path) + "/out/"},
+        },
+        "transformCallback": [
+            {
+                "@type": "TransformCallbackMap",
+                "file": str(out_csv),
+                "fieldToMap": "object",
+                "columns": ["original", "matches"],
+                "matchers": [
+                    # matches BOTH the type quad (object=...Post) and the
+                    # appended quad (object=http://marker/x)
+                    {
+                        "@type": "QuadMatcherPredicate",
+                        "predicateRegex": "type$|appended$",
+                    }
+                ],
+            }
+        ],
+    }
+    run_pipeline_spec(spark, spec, str(tmp_path / "frags"))
+    with open(out_csv) as f:
+        rows = [line.rstrip("\n") for line in f]
+    # rewritten original (vocabulary/Post) BEFORE the appended marker,
+    # although 'h' < 'v' lexically — proves core-first, not sorted
+    assert rows == [
+        "original,matches",
+        f"{VOC}Post,{VOC}Post,http://marker/x",
+    ]
