@@ -616,6 +616,32 @@ def q_sim_cosine_topk_lsh(spark, sf_dir):
     )
 
 
+#: IVF gate parameters — mirrored between Spark and the DuckDB oracle
+_IVF_K, _IVF_PROBE, _IVF_ITERS, _IVF_SCALE = 8, 3, 2, 4096
+
+
+def q_sim_cosine_topk_ivf(spark, sf_dir):
+    """ANN top-k via an IVF coarse quantizer: Lloyd-iterated centroids over
+    fixed-point-quantized vectors (exact integer arithmetic → bit-identical
+    centroids in any engine/summation order), inverted-list probe of the 3
+    nearest of 8 centroids, exact cosine re-rank. Full DuckDB oracle runs
+    the identical algorithm."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk_ivf(
+        emb,
+        queries,
+        k=5,
+        n_centroids=_IVF_K,
+        n_probe=_IVF_PROBE,
+        iterations=_IVF_ITERS,
+        scale=_IVF_SCALE,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_sim_embedding_near_dups(spark, sf_dir):
     return S.embedding_near_dups(_embeddings(spark, sf_dir), threshold=0.25, bits=8)
 
@@ -684,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
+        "sim_cosine_topk_ivf": q_sim_cosine_topk_ivf,
         "sim_embedding_near_dups": q_sim_embedding_near_dups,
         "events_sessionize": q_events_sessionize,
     }
@@ -827,6 +854,96 @@ def _topk_lsh_oracle(bits: int = _LSH_BITS, tables: int = _LSH_TABLES) -> str:
                  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
           FROM scored
         )
+        SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rank
+        FROM ranked WHERE rn <= 5
+    """
+
+
+def _topk_ivf_oracle() -> str:
+    """The identical IVF algorithm in one DuckDB statement: fixed-point
+    quantization, deterministic init (lowest-id vectors), Lloyd iterations
+    unrolled as CTE pairs (argmax assign → exact integer floor-mean
+    update, empty clusters keep their centroid), n_probe inverted-list
+    probe, exact-cosine re-rank. All clustering arithmetic is on integers
+    exactly representable in doubles, so Spark and DuckDB compute
+    bit-identical centroids regardless of summation order."""
+    K, P, iters, scale = _IVF_K, _IVF_PROBE, _IVF_ITERS, _IVF_SCALE
+    cscore = (
+        "list_dot_product(q.qvec, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec))"
+    )
+
+    def assign(cent: str, name: str, extra: str = "") -> str:
+        return f"""
+        {name} AS MATERIALIZED (
+          SELECT vid, qvec, cid FROM (
+            SELECT q.vid, q.qvec, c.cid,
+                   row_number() OVER (PARTITION BY q.vid
+                     ORDER BY {cscore} DESC, c.cid) AS rn
+            FROM qc q CROSS JOIN {cent} c {extra}
+          ) WHERE rn = 1
+        )"""
+
+    parts = [
+        f"""qc AS MATERIALIZED (
+          SELECT vec_id AS vid, embedding::DOUBLE[] AS vec,
+                 list_transform(embedding::DOUBLE[], x -> floor(x * {scale})) AS qvec
+          FROM embeddings
+        ),
+        cent0 AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, qvec AS cvec
+          FROM (SELECT vid, qvec FROM qc ORDER BY vid LIMIT {K})
+        )"""
+    ]
+    for i in range(iters):
+        parts.append(assign(f"cent{i}", f"a{i}"))
+        parts.append(
+            f"""
+        c{i}_dims AS (
+          SELECT cid, generate_subscripts(qvec, 1) - 1 AS pos, unnest(qvec) AS val
+          FROM a{i}
+        ),
+        c{i}_comp AS (
+          SELECT cid, pos, floor(CAST(sum(val) AS DOUBLE) / count(*)) AS c
+          FROM c{i}_dims GROUP BY cid, pos
+        ),
+        c{i}_new AS (SELECT cid, list(c ORDER BY pos) AS cvec FROM c{i}_comp GROUP BY cid),
+        cent{i + 1} AS MATERIALIZED (
+          SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+          FROM cent{i} p LEFT JOIN c{i}_new n ON p.cid = n.cid
+        )"""
+        )
+    final = f"cent{iters}"
+    parts.append(assign(final, "inv"))
+    parts.append(
+        f"""
+        probes AS MATERIALIZED (
+          SELECT vid AS query_id, cid FROM (
+            SELECT q.vid, c.cid,
+                   row_number() OVER (PARTITION BY q.vid
+                     ORDER BY {cscore} DESC, c.cid) AS rn
+            FROM qc q CROSS JOIN {final} c WHERE q.vid < 10
+          ) WHERE rn <= {P}
+        ),
+        scored AS (
+          SELECT DISTINCT p.query_id, i.vid AS neighbor_id,
+                 floor(1000 * list_dot_product(qv.vec, iv.vec) /
+                       (sqrt(list_dot_product(qv.vec, qv.vec)) *
+                        sqrt(list_dot_product(iv.vec, iv.vec)))) / 1000 AS score
+          FROM probes p
+          JOIN inv i ON p.cid = i.cid AND i.vid <> p.query_id
+          JOIN qc qv ON qv.vid = p.query_id
+          JOIN qc iv ON iv.vid = i.vid
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rn
+          FROM scored
+        )"""
+    )
+    body = ",".join(parts)
+    return f"""
+        WITH {body}
         SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rank
         FROM ranked WHERE rn <= 5
     """
@@ -1514,6 +1631,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn <= 5
         """,
         "sim_cosine_topk_lsh": _topk_lsh_oracle(),
+        "sim_cosine_topk_ivf": _topk_ivf_oracle(),
         "sim_embedding_near_dups": f"""
             WITH v AS (
               SELECT vec_id, embedding::DOUBLE[] AS vec, {_BUCKET8} AS bucket

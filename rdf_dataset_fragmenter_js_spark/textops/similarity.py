@@ -221,6 +221,139 @@ def cosine_topk_lsh(
     )
 
 
+def quantize_col(vec: Column, scale: int) -> Column:
+    """Fixed-point quantization ``floor(x·scale)`` per component (long).
+
+    IVF's clustering arithmetic runs on these integers so every engine
+    computes bit-identical centroids: integer dot products and sums are
+    exactly representable in doubles at these magnitudes (|comp| ≤ scale,
+    dim ≤ a few hundred → partial sums ≪ 2^53), which makes the result
+    independent of summation order — the property float arithmetic lacks
+    and the reason a naive distributed k-means cannot be oracle-checked."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * scale).cast("long"))
+
+
+def _qdot(a: Column, b: Column) -> Column:
+    """Dot product of quantized (integer) vectors, evaluated in doubles —
+    exact at IVF magnitudes (see :func:`quantize_col`)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest_centroids(vectors: DataFrame, centroids: DataFrame, n: int) -> DataFrame:
+    """For each (vid, qvec) row: the ``n`` centroids maximizing the
+    normalized integer dot product (ties → lower cid). Centroid side is
+    broadcast (K rows)."""
+    # deliberate K-row broadcast nested-loop: every vector scores every
+    # centroid (that IS the coarse quantizer); K stays tiny by design
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vid",
+        "cid",
+        (_qdot(F.col("qvec"), F.col("cvec")) / F.sqrt(_qdot(F.col("cvec"), F.col("cvec")))).alias(
+            "cscore"
+        ),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("cscore"), F.asc("cid"))
+    return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= n).select(
+        "vid", "cid"
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    iterations: int = 2,
+    scale: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 3,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the classic coarse-quantizer
+    scale path: Lloyd-iterated centroids partition the corpus into K
+    inverted lists; a query scores only the lists of its ``n_probe``
+    nearest centroids, then candidates are re-ranked by exact cosine.
+
+    Deterministic and engine-portable by construction (DuckDB oracle runs
+    the identical algorithm): init = the ``n_centroids`` lowest-id vectors,
+    all clustering arithmetic on fixed-point integers (exact in any
+    summation order), centroid update = per-component ``floor(mean)``,
+    empty clusters keep their previous centroid.
+
+    At scale: centroid set is K rows (broadcast everywhere); each Lloyd
+    iteration is one broadcast-join argmax + one (cid, pos) aggregation —
+    shuffles carry K·dim rows; the probe join is list-local, never
+    all-pairs. Recall tunes with ``n_probe``/``n_centroids``."""
+    qc = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        quantize_col(F.col(vec_col), scale).alias("qvec"),
+    )
+    w0 = Window.orderBy("vid")
+    centroids = (
+        qc.select("vid", "qvec")
+        .withColumn("__rn", F.row_number().over(w0))
+        .filter(F.col("__rn") <= n_centroids)
+        .select((F.col("__rn") - 1).alias("cid"), F.col("qvec").alias("cvec"))
+        .localCheckpoint(eager=True)
+    )
+    members = qc.select("vid", "qvec")
+    for _ in range(iterations):
+        assigned = _nearest_centroids(members, centroids, 1)
+        dims = members.join(assigned, on="vid").select(
+            "cid", F.posexplode("qvec").alias("pos", "val")
+        )
+        comp = dims.groupBy("cid", "pos").agg(
+            F.floor(F.sum("val").cast("double") / F.count(F.lit(1))).cast("long").alias("c")
+        )
+        new_c = (
+            comp.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cid", F.transform("pc", lambda s: s["c"]).alias("cvec"))
+        )
+        centroids = (
+            centroids.select("cid", F.col("cvec").alias("__old"))
+            .join(new_c, on="cid", how="left")
+            .select("cid", F.coalesce(F.col("cvec"), F.col("__old")).alias("cvec"))
+            .localCheckpoint(eager=True)  # K rows; truncate iterative lineage
+        )
+    inv = (
+        qc.join(_nearest_centroids(qc.select("vid", "qvec"), centroids, 1), on="vid")
+        .select("cid", F.col("vid").alias("neighbor_id"), F.col("vec").alias("cvec_f"))
+    )
+    qq = queries.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("qvec_f"),
+        quantize_col(F.col(vec_col), scale).alias("qvec"),
+    )
+    probes = (
+        _nearest_centroids(qq.select("vid", "qvec"), centroids, n_probe)
+        .join(qq.select("vid", "qvec_f"), on="vid")
+        .select(F.col("vid").alias("query_id"), "qvec_f", "cid")
+    )
+    scored = (
+        probes.join(inv, on="cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _trunc(cosine_col(F.col("qvec_f"), F.col("cvec_f")), round_digits).alias("score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -48,3 +48,22 @@ def test_near_dup_clusters_driver_vs_distributed(spark):
     assert drv  # the exact-duplicate docs 1 and 4 share a cluster
     clusters = dict(drv)
     assert clusters[1] == clusters[4]
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF ANN recall@5 vs exact brute force on the fixture corpus — the
+    documented quality number for the coarse-quantizer scale path (the
+    LSH variant's counterpart)."""
+    from rdf_dataset_fragmenter_js_spark.plans import testdata as TD
+    from rdf_dataset_fragmenter_js_spark.textops import similarity as S
+
+    TD.register_views(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings")
+    queries = emb.filter("vec_id < 10")
+    exact = S.cosine_topk_bruteforce(emb, queries, k=5)
+    ivf = S.cosine_topk_ivf(emb, queries, k=5, n_centroids=8, n_probe=3, iterations=2)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(e & a) / len(e)
+    # 3-of-8-list probing must recover a solid share of the exact set
+    assert recall >= 0.5, recall
