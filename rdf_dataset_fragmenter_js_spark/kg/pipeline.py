@@ -85,6 +85,7 @@ def fragment_and_write(
     output_dir: str,
     manifest_dir: str | None = None,
     fragment_partitions: int = 0,
+    skew_salt: int = 1,
 ) -> dict:
     """Route quads to fragments (subject strategy) and write one parquet
     dataset partitioned by fragment bucket, with a lineage manifest.
@@ -109,10 +110,20 @@ def fragment_and_write(
     # fragment bucket bounds output-partition fan-out (the reference's
     # 128-open-files LRU concern, lib/io/ParallelFileWriter.ts:24-32):
     # hash-partition fragments into a fixed number of directory buckets.
+    # skew_salt > 1 spreads one HOT fragment (a popular subject/domain —
+    # the north rule's explicit skew case) over up to `skew_salt` buckets
+    # by salting the bucket hash with seq, so no single write task owns a
+    # whole hot fragment; readers see the same rows (bucket is a directory
+    # shard, not part of the fragment identity).
     n_buckets = fragment_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    routed = routed.withColumn("bucket", F.pmod(F.hash(F.col("doc")), F.lit(n_buckets)))
+    bucket_hash = (
+        F.hash(F.col("doc"))
+        if skew_salt <= 1
+        else F.hash(F.col("doc"), F.pmod(F.col("seq"), F.lit(skew_salt)))
+    )
+    routed = routed.withColumn("bucket", F.pmod(bucket_hash, F.lit(n_buckets)))
     # persist: consumed twice (fragment write + lineage aggregation); the
     # alternative — re-reading the whole fragments dataset to rebuild the
     # manifest — would re-scan every byte ever written on every resume.

@@ -212,3 +212,38 @@ def test_entity_link_scoring_links_aliases(spark):
         for r in link_mentions(mentions, ents, threshold_bp=2000, block=False).collect()
     }
     assert linked_full == truth
+
+
+def test_fragment_write_skew_salt(spark, pages, tmp_path):
+    """skew_salt spreads a hot fragment's rows over multiple directory
+    buckets (no single write task owns a popular subject) while the
+    dataset content and the lineage manifest stay identical."""
+    from rdf_dataset_fragmenter_js_spark.kg.pipeline import build_quads, fragment_and_write
+
+    quads = build_quads(pages)
+    plain_dir, salted_dir = str(tmp_path / "plain"), str(tmp_path / "salted")
+    m_plain = fragment_and_write(quads, plain_dir)
+    m_salted = fragment_and_write(build_quads(pages), salted_dir, skew_salt=4)
+    assert m_salted["rows"] == m_plain["rows"]
+    assert m_salted["fragments"] == m_plain["fragments"]
+
+    import pyspark.sql.functions as F
+
+    plain = spark.read.parquet(plain_dir + "/fragments")
+    salted = spark.read.parquet(salted_dir + "/fragments")
+    # identical quads (bucket is a shard, not identity)
+    cols = ["doc", "s", "p", "o", "g"]
+    assert sorted(map(tuple, plain.select(cols).collect())) == sorted(
+        map(tuple, salted.select(cols).collect())
+    )
+    # the hottest fragment occupies >1 bucket when salted, exactly 1 plain
+    hot = (
+        salted.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("bucket").alias("nb"))
+        .orderBy(F.desc("n"))
+        .first()
+    )
+    assert hot["nb"] > 1
+    assert (
+        plain.filter(F.col("doc") == hot["doc"]).select("bucket").distinct().count() == 1
+    )
