@@ -290,28 +290,17 @@ def q_source_jsonld_roundtrip(spark, sf_dir):
     JSON-LD document on disk, read back through read_rdf's extension
     dispatch (sources/jsonld.py), compared against the same quads built by
     the oracle directly — drives the parser, not just the fixture tests."""
-    import json as _json
     import os
     import tempfile
 
+    from rdf_dataset_fragmenter_js_spark.sources.jsonld import serialize_jsonld
     from rdf_dataset_fragmenter_js_spark.sources.nquads import read_rdf
 
-    rows = TD.order_quads(spark, sf_dir).collect()
-    nodes = []
-    for r in rows:
-        if r.o_type == "NamedNode":
-            obj = {"@id": r.o}
-        else:
-            obj = {"@value": r.o}
-            if r.o_datatype:
-                obj["@type"] = r.o_datatype
-            if r.o_lang:
-                obj["@language"] = r.o_lang
-        nodes.append({"@id": r.s, r.p: [obj]})
+    rows = [tuple(r) for r in TD.order_quads(spark, sf_dir).collect()]
     tmp = tempfile.mkdtemp(prefix="jsonld_rt_")
     path = os.path.join(tmp, "orders.jsonld")
     with open(path, "w") as f:
-        _json.dump(nodes, f)
+        f.write(serialize_jsonld(rows))
     return read_rdf(spark, path).select(
         "s_type", "s", "p", "o_type", "o", "o_datatype", "o_lang"
     )

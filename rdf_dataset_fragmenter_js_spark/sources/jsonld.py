@@ -328,6 +328,37 @@ def parse_jsonld(text: str, base_iri: str | None = None) -> list[tuple]:
     return p.quads
 
 
+def serialize_jsonld(rows: list[tuple]) -> str:
+    """Quad tuples → an expanded-form JSON-LD document (one node object
+    per quad; named graphs become ``{"@id": g, "@graph": [...]}``
+    wrappers). Round-trips through :func:`parse_jsonld` — property-tested.
+    Blank-node labels serialize as ``_:label``."""
+
+    def term(t_type, value):
+        return {"@id": ("_:" + value) if t_type == "BlankNode" else value}
+
+    def node(r):
+        s_type, s, p, o_type, o, dt, lang = r[0], r[1], r[2], r[3], r[4], r[5], r[6]
+        if o_type == "Literal":
+            obj: dict = {"@value": o}
+            if dt:
+                obj["@type"] = dt
+            if lang:
+                obj["@language"] = lang
+        else:
+            obj = term(o_type, o)
+        return {**term(s_type, s), p: [obj]}
+
+    default_graph, named = [], {}
+    for r in rows:
+        g = r[7]
+        (default_graph if g is None else named.setdefault(g, [])).append(node(r))
+    doc = default_graph + [
+        {"@id": g, "@graph": nodes} for g, nodes in named.items()
+    ]
+    return json.dumps(doc)
+
+
 def read_jsonld(spark, path: str, base_iri: str | None = None):
     """``QuadSourceFile`` for ``.jsonld`` — per-file parsed (driver for one
     file, distributed for globs/directories); accepts a file, glob, or

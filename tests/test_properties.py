@@ -385,3 +385,50 @@ def test_fnv_duckdb_oracle_matches_python():
     assert got == {
         t: (_fnv1a32(b"S" + t.encode()), _fnv1a32(b"W" + t.encode())) for t in tests
     }
+
+
+@given(
+    quads=st.lists(
+        st.tuples(
+            st.sampled_from(["NamedNode", "BlankNode"]),           # s_type
+            st.integers(0, 5),                                     # s key
+            st.integers(0, 3),                                     # p key
+            st.sampled_from(["NamedNode", "BlankNode", "Literal"]),  # o_type
+            st.text(max_size=12),                                  # literal text
+            st.sampled_from([None, "http://dt.org/t"]),            # datatype
+            st.sampled_from([None, "en"]),                         # lang
+            st.sampled_from([None, "http://g.org/1", "http://g.org/2"]),  # graph
+        ),
+        max_size=25,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_jsonld_serializer_roundtrip(quads):
+    """serialize_jsonld → parse_jsonld preserves the quad value multiset
+    (modulo the parser's 'b_' bnode relabeling, a bijective rename)."""
+    from rdf_dataset_fragmenter_js_spark.sources.jsonld import (
+        parse_jsonld,
+        serialize_jsonld,
+    )
+
+    rows = []
+    for i, (s_t, s_k, p_k, o_t, lit, dt, lang, g) in enumerate(quads):
+        s = f"n{s_k}" if s_t == "BlankNode" else f"http://ex.org/s{s_k}"
+        p = f"http://ex.org/p{p_k}"
+        if o_t == "Literal":
+            o, o_dt, o_lang = lit, (None if lang else dt), lang
+        elif o_t == "BlankNode":
+            o, o_dt, o_lang = f"m{s_k}", None, None
+        else:
+            o, o_dt, o_lang = f"http://ex.org/o{s_k}", None, None
+        rows.append((s_t, s, p, o_t, o, o_dt, o_lang, g, i))
+
+    parsed = parse_jsonld(serialize_jsonld(rows))
+
+    def key(r, rename_bnodes):
+        def v(t, val):
+            return f"b_{val}" if (rename_bnodes and t == "BlankNode") else val
+
+        return (r[0], v(r[0], r[1]), r[2], r[3], v(r[3], r[4]), r[5], r[6], r[7])
+
+    assert sorted(key(r, True) for r in rows) == sorted(key(r, False) for r in parsed)
