@@ -1,10 +1,13 @@
 """Sessionization over the events table.
 
 Batch form: classic gap-based sessions with window functions (lag → new
-session flag → running sum), one shuffle on user_id. Streaming form: the
-same semantics over an unbounded source via watermark + session window —
-``events.withWatermark("ts", ...).groupBy(session_window("ts", gap),
-"user_id")`` — provided for readStream sources.
+session flag → running sum), one shuffle on user_id. Streaming forms: the
+same semantics over an unbounded source via watermark + session window
+(``sessionize_streaming``), and a CUSTOM stateful operator via
+``applyInPandasWithState`` (``sessionize_stateful``) for semantics the
+built-in session window cannot express — closed-session emission with
+explicit per-user state and processing-time timeouts, checkpoint-restored
+across query restarts.
 """
 
 from __future__ import annotations
@@ -45,4 +48,67 @@ def sessionize_streaming(events_stream: DataFrame, gap: str = "30 minutes"):
         events_stream.withWatermark("ts", gap)
         .groupBy(F.session_window("ts", gap), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def sessionize_stateful(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+    state_timeout_ms: int = 60_000,
+):
+    """CUSTOM stateful sessionization via ``applyInPandasWithState`` — the
+    arbitrary-state path for semantics ``session_window`` cannot express
+    (here: emit one row per CLOSED session, closing on gap or on
+    processing-time timeout, with explicit per-user state that survives
+    restarts through the checkpointed state store).
+
+    Per user the state is (last_ts, session_start, n_events) as epoch
+    seconds; a new event more than ``gap_seconds`` after ``last_ts``
+    closes the open session and emits (user_id, session_start,
+    session_end, n_events). A user idle past ``state_timeout_ms`` of
+    processing time has their open session flushed and state removed.
+    Output mode: append."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start double, session_end double, n_events long"
+    )
+    state_schema = "last_ts double, session_start double, n_events long"
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            last_ts, session_start, n = state.get
+            state.remove()
+            yield pd.DataFrame([(user_id, session_start, last_ts, n)], columns=cols)
+            return
+        if state.exists:
+            last_ts, session_start, n = state.get
+        else:
+            last_ts = session_start = None
+            n = 0
+        closed = []
+        stamps = []
+        for pdf in pdf_iter:
+            stamps.extend(t.timestamp() for t in pdf["ts"])
+        for t in sorted(stamps):
+            if last_ts is not None and t - last_ts > gap_seconds:
+                closed.append((user_id, session_start, last_ts, n))
+                session_start, n = None, 0
+            if session_start is None:
+                session_start = t
+            last_ts = t
+            n += 1
+        state.update((last_ts, session_start, n))
+        state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(closed, columns=cols)
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -110,3 +110,57 @@ def test_stream_composite_sources_and_nquads_sink(spark, tmp_path):
     stream_pipeline_spec(spark, spec, out, ckpt).awaitTermination(120)
     s1_lines = (tmp_path / "out" / "frags" / "s1.nq").read_text().strip().splitlines()
     assert len(s1_lines) == 2  # appended, not rewritten
+
+
+def test_sessionize_stateful_apply_in_pandas_with_state(spark, tmp_path):
+    """Custom stateful streaming op (applyInPandasWithState): closed
+    sessions emit on gap, per-user state survives a query restart through
+    the checkpointed state store."""
+    import json
+
+    from rdf_dataset_fragmenter_js_spark.streaming.sessions import sessionize_stateful
+
+    src = tmp_path / "events"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, event_id long, ts timestamp"
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            # hour-long processing-time timeout: batches on this shared host
+            # can be minutes apart, and a fired timeout flushes open
+            # sessions — this test pins the GAP-close + state-restore path
+            sessionize_stateful(stream, gap_seconds=1800, state_timeout_ms=3_600_000)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "a.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "event_id": 1, "ts": "2026-01-01 10:00:00"},
+                {"user_id": 1, "event_id": 2, "ts": "2026-01-01 10:10:00"},
+                {"user_id": 2, "event_id": 3, "ts": "2026-01-01 10:00:00"},
+            ]
+        )
+    )
+    run()  # no gaps crossed yet -> nothing closed, state persisted
+
+    (src / "b.json").write_text(
+        json.dumps({"user_id": 1, "event_id": 4, "ts": "2026-01-01 11:30:00"})
+        + "\n"
+        + json.dumps({"user_id": 2, "event_id": 5, "ts": "2026-01-01 10:05:00"})
+    )
+    run()  # user 1's 80-min gap closes the RESTORED session [10:00, 10:10]
+
+    rows = spark.read.parquet(out).collect()
+    closed = [(r.user_id, r.session_end - r.session_start, r.n_events) for r in rows]
+    assert closed == [(1, 600.0, 2)]  # 10-minute session, 2 events
