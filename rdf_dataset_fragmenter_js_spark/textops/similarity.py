@@ -294,11 +294,18 @@ def cosine_topk_ivf(
         F.col(vec_col).alias("vec"),
         quantize_col(F.col(vec_col), scale).alias("qvec"),
     )
-    w0 = Window.orderBy("vid")
-    centroids = (
+    # Init = the n_centroids lowest-id vectors. sort().limit(K) compiles to
+    # TakeOrderedAndProject — a per-partition top-K merged on the driver —
+    # so no corpus-wide single-partition Sort/Window ever runs. The cid
+    # ranking window below operates on the K checkpointed rows only.
+    seed = (
         qc.select("vid", "qvec")
-        .withColumn("__rn", F.row_number().over(w0))
-        .filter(F.col("__rn") <= n_centroids)
+        .sort("vid")
+        .limit(n_centroids)
+        .localCheckpoint(eager=True)
+    )
+    centroids = (
+        seed.withColumn("__rn", F.row_number().over(Window.orderBy("vid")))
         .select((F.col("__rn") - 1).alias("cid"), F.col("qvec").alias("cvec"))
         .localCheckpoint(eager=True)
     )

@@ -78,6 +78,35 @@ def test_predicate_pushdown_reaches_scan(spark, queries):
     assert any("vec_id" in l for l in pushed), pushed
 
 
+def test_ivf_centroid_init_is_take_ordered(spark, queries):
+    """IVF centroid INIT must compile to TakeOrderedAndProject (per-partition
+    top-K, driver merge) — never a corpus-wide single-partition Window/Sort.
+    The final gate query plan is checkpoint-truncated, so assert on the init
+    expression directly."""
+    from rdf_dataset_fragmenter_js_spark.textops.similarity import quantize_col
+    from pyspark.sql import functions as F
+
+    qc = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("vid"),
+            quantize_col(F.col("embedding"), 4096).alias("qvec"),
+        )
+    )
+    init = qc.select("vid", "qvec").sort("vid").limit(8)
+    plan = plan_of(init)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    # Every Window in the full gate plan must be PARTITIONED (by query_id
+    # for the final top-k rank, or by vid for the per-vector probe rank);
+    # an unpartitioned windowspec would be a corpus-wide single-partition
+    # sort. (The K-row centroid-numbering window is checkpoint-truncated
+    # out of this plan and never touches the corpus.)
+    full = plan_of(queries["sim_cosine_topk_ivf"](spark, SF))
+    for frag in full.split("windowspecdefinition(")[1:]:
+        assert frag.startswith(("query_id", "vid")), frag[:120]
+
+
 def test_summary_aggregates_are_partial(spark, queries):
     """VoID property partitions must map-side combine (partial aggregates)
     — the shuffle carries per-group rows, not the exploded input."""

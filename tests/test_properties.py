@@ -11,7 +11,7 @@ from __future__ import annotations
 import random
 import string
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -403,6 +403,12 @@ def test_fnv_duckdb_oracle_matches_python():
     )
 )
 @settings(max_examples=60, deadline=None)
+@example(
+    quads=[
+        ("BlankNode", 0, 0, "NamedNode", "", None, None, None),
+        ("BlankNode", 0, 0, "NamedNode", "", None, None, "http://g.org/1"),
+    ],
+)
 def test_jsonld_serializer_roundtrip(quads):
     """serialize_jsonld → parse_jsonld preserves the quad value multiset
     (modulo the parser's 'b_' bnode relabeling, a bijective rename)."""
@@ -429,6 +435,17 @@ def test_jsonld_serializer_roundtrip(quads):
         def v(t, val):
             return f"b_{val}" if (rename_bnodes and t == "BlankNode") else val
 
-        return (r[0], v(r[0], r[1]), r[2], r[3], v(r[3], r[4]), r[5], r[6], r[7])
+        # Coalesce nullable fields (datatype, lang, graph) so the key is
+        # totally ordered: None vs str would make sorted() raise TypeError.
+        return (
+            r[0],
+            v(r[0], r[1]),
+            r[2],
+            r[3],
+            v(r[3], r[4]),
+            r[5] or "",
+            r[6] or "",
+            r[7] or "",
+        )
 
     assert sorted(key(r, True) for r in rows) == sorted(key(r, False) for r in parsed)
