@@ -398,7 +398,9 @@ def run_transform_callback(
         # null-free struct so array_position's struct equality is exact
         return F.struct(
             *[F.coalesce(F.col(c), F.lit("\x00")).alias(c) for c in QUAD_VALUE_COLUMNS],
-            F.col(value_col).alias("__fv"),
+            # '' (not NULL) so concat_ws keeps the field: the reference
+            # writes quad.graph.value === '' for the default graph
+            F.coalesce(F.col(value_col), F.lit("")).alias("__fv"),
         )
 
     grouped = matched.groupBy("seq").agg(F.collect_list(qv()).alias("__ms"))
@@ -406,7 +408,9 @@ def run_transform_callback(
     for tr in _core_specs(transformer_specs):
         core = build_transformer(tr)(core)
     core_sel = core.select(F.col("seq").alias("__cseq"), qv().alias("__core"))
-    orig = source.select("seq", F.col(value_col).alias("__orig"))
+    orig = source.select(
+        "seq", F.coalesce(F.col(value_col), F.lit("")).alias("__orig")
+    )
 
     joined = (
         orig.join(grouped, on="seq")

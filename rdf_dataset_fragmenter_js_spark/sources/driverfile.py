@@ -143,11 +143,16 @@ def _strip_file_scheme(uri: str) -> str:
 
 def _path_key(path_or_uri: str) -> str:
     """Normalize a path for matching the enumerated file list against
-    ``wholeTextFiles`` keys: drop any ``scheme://authority`` prefix, keep
-    the path component; absolutize plain local paths."""
-    m = re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:(//[^/]*)?(/.*)$", path_or_uri)
+    ``wholeTextFiles`` keys. Only the ``file:`` scheme's authority-less vs
+    authority forms collapse to the plain local path; any other scheme
+    keeps ``scheme://authority`` — two equal paths on DIFFERENT remote
+    filesystems/authorities must stay distinct keys (else rows get the
+    wrong file index → wrong bnode prefix and seq offsets)."""
+    m = re.match(r"^file:(//[^/]*)?(/.*)$", path_or_uri, re.IGNORECASE)
     if m:
         return m.group(2)
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", path_or_uri):
+        return path_or_uri
     return os.path.abspath(path_or_uri)
 
 
@@ -171,13 +176,17 @@ def read_driver_parsed(
             size = os.path.getsize(file_path)
         except OSError:
             continue
-        if size > LARGE_FILE_BYTES and len(files) == 1:
+        if size > LARGE_FILE_BYTES:
+            # fires for the driver path AND for each oversized file in a
+            # glob — non-splittable formats parse each whole file in ONE
+            # task either way, so a multi-GB .ttl risks executor OOM too
             logger.warning(
-                "%s: %s is %d MB and parses on the driver — convert large "
-                "inputs to N-Quads for splittable, vectorized reads",
+                "%s: %s is %d MB and parses whole in a single %s — convert "
+                "large inputs to N-Quads for splittable, vectorized reads",
                 format_name,
                 file_path,
                 size >> 20,
+                "driver process" if len(files) == 1 else "executor task",
             )
     if len(files) == 1 and not _REMOTE_SCHEME.match(files[0]):
         with open(files[0], encoding="utf-8") as f:
@@ -198,6 +207,15 @@ def _read_distributed(spark, files, base_iri, parse_fn, format_name):
     from rdf_dataset_fragmenter_js_spark.quads import QUAD_SCHEMA
 
     sc = spark.sparkContext
+    bad = [f for f in files if "," in f]
+    if bad:
+        # wholeTextFiles takes a comma-joined path list — a comma INSIDE a
+        # path would be split into two bogus paths (silent wrong reads)
+        raise ValueError(
+            f"{format_name}: file paths containing ',' are not readable via "
+            f"wholeTextFiles (Spark splits its path argument on commas): {bad!r} "
+            "— rename the files or read them individually"
+        )
     index_of = {_path_key(f): i for i, f in enumerate(files)}
     n_files = len(files)
     bc = sc.broadcast((index_of, base_iri))

@@ -241,7 +241,9 @@ class _Parser:
             pred = term_def.get("@id") if key in ctx.terms else self._expand_iri(key, ctx, vocab=True)
             if not (_ABSOLUTE_IRI.match(pred) or pred.startswith("_:")):
                 continue  # term does not expand to an IRI → dropped (spec)
-            values = raw if isinstance(raw, list) else [raw]
+            if raw is None:
+                continue  # null value → entry removed (expansion algorithm)
+            values = [v for v in (raw if isinstance(raw, list) else [raw]) if v is not None]
             if term_def.get("@container") == "@list":
                 self._emit_list(subj, pred, values, term_def, ctx, graph)
                 continue
@@ -250,6 +252,7 @@ class _Parser:
         return subj
 
     def _emit_list(self, subj, pred, values, term_def, ctx, graph) -> None:
+        values = [v for v in values if v is not None]  # expansion null-drop
         if not values:
             self._emit(subj[0], subj[1], pred, "NamedNode", RDF_NS + "nil", g=graph)
             return
@@ -270,6 +273,8 @@ class _Parser:
                 return
             if "@value" in value:
                 v = value["@value"]
+                if v is None:
+                    return  # {"@value": null} → emit nothing (expansion null-drop)
                 lang = value.get("@language")
                 dt = value.get("@type")
                 if dt is not None:

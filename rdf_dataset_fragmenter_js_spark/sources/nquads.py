@@ -144,11 +144,17 @@ def read_nquads(spark: SparkSession, path: str, base_iri: str | None = None) -> 
     return df
 
 
-def _sniff_format(path: str) -> str:
+def _sniff_format(path: str, spark: SparkSession | None = None) -> str:
     """Classify a path (file, glob, or directory) by the extension(s) of
-    the file(s) it targets: 'nquads' | 'turtle' | 'rdfxml' | 'jsonld'."""
+    the file(s) it targets: 'nquads' | 'turtle' | 'rdfxml' | 'jsonld'.
+
+    Scheme-qualified paths (hdfs://, s3a://, …) are listed through the same
+    Hadoop FileSystem machinery the readers use (sources/driverfile.py) —
+    probing the DRIVER's local filesystem for them would silently classify
+    a remote .ttl directory as 'nquads' and drop every line as malformed."""
     import glob as _glob
     import os
+    import re as _re
 
     def classify(name: str) -> str | None:
         n = name.lower()
@@ -165,8 +171,25 @@ def _sniff_format(path: str) -> str:
     direct = classify(path)
     if direct:
         return direct
-    if any(c in path for c in "*?["):
+    if _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", path) and not path.startswith("file:"):
+        from rdf_dataset_fragmenter_js_spark.sources.driverfile import _expand_hadoop
+
+        if spark is None:
+            raise ValueError(
+                f"QuadSourceFile: cannot classify remote path {path!r} without a "
+                "SparkSession (Hadoop FileSystem listing) — pass spark or use an "
+                "extension-qualified path"
+            )
+        all_ext = (
+            TURTLE_EXTENSIONS + RDFXML_EXTENSIONS + JSONLD_EXTENSIONS + SUPPORTED_EXTENSIONS
+        )
+        names = _expand_hadoop(spark, path, all_ext)  # raises on zero matches
+        if names == [path]:
+            return "nquads"  # extension-less single remote file: reference default
+    elif any(c in path for c in "*?["):
         names = _glob.glob(path)
+        if not names:
+            raise FileNotFoundError(f"no files match {path!r}")
     elif os.path.isdir(path):
         names = [os.path.join(path, f) for f in os.listdir(path)]
     else:
@@ -187,7 +210,7 @@ def read_rdf(spark: SparkSession, path: str, base_iri: str | None = None) -> Dat
     and JSON-LD → per-file parsers (driver for one file, distributed over
     executors for globs/directories — sources/driverfile.py). Directory and
     glob paths dispatch on the extensions of the files they match."""
-    fmt = _sniff_format(path)
+    fmt = _sniff_format(path, spark)
     if fmt == "turtle":
         from rdf_dataset_fragmenter_js_spark.sources.turtle import read_turtle
 

@@ -56,6 +56,15 @@ class _Parser:
         self._bnode_n += 1
         return f"genid_xml_{self._bnode_n}"
 
+    @staticmethod
+    def _authored_bnode(label: str) -> str:
+        # Authored rdf:nodeID labels get a namespace disjoint from the
+        # generated 'genid_xml_N' ones (same scheme as sources/jsonld.py
+        # and sources/turtle.py): a document authoring
+        # rdf:nodeID="genid_xml_1" next to an anonymous node must stay two
+        # distinct blank nodes. 'b_'+label is injective and PN_CHARS-legal.
+        return "b_" + label
+
     def _resolve(self, iri: str, base: str | None) -> str:
         if base is None:
             return iri
@@ -87,7 +96,7 @@ class _Parser:
         if about is not None:
             subj = ("NamedNode", self._resolve(about, base))
         elif node_id is not None:
-            subj = ("BlankNode", node_id)
+            subj = ("BlankNode", self._authored_bnode(node_id))
         elif rid is not None:
             subj = ("NamedNode", self._resolve("#" + rid, base))
         else:
@@ -200,7 +209,7 @@ class _Parser:
             if resource is not None:
                 obj = ("NamedNode", self._resolve(resource, base))
             elif node_id is not None:
-                obj = ("BlankNode", node_id)
+                obj = ("BlankNode", self._authored_bnode(node_id))
             else:
                 obj = ("BlankNode", self._fresh_bnode())
             emit_stmt(obj[0], obj[1])

@@ -161,6 +161,15 @@ class TurtleParser:
         self._bnode_n += 1
         return f"genid_ttl_{self._bnode_n}"
 
+    @staticmethod
+    def _authored_bnode(label: str) -> str:
+        # Document-authored labels live in a namespace disjoint from the
+        # generated 'genid_ttl_N' ones (same scheme as sources/jsonld.py):
+        # a document authoring '_:genid_ttl_1' next to an anonymous '[...]'
+        # must stay two distinct blank nodes. 'b_'+label is injective and
+        # PN_CHARS-legal, and 'genid_ttl_*' never starts with 'b_'.
+        return "b_" + label
+
     def _read_iri(self) -> str | None:
         """IRIREF or prefixed name → absolute IRI string, or None."""
         self._skip_ws()
@@ -229,7 +238,7 @@ class TurtleParser:
             return ("Literal", s, None, None)
         m = self._match(_BNODE)
         if m:
-            return ("BlankNode", self._strip_trailing_dots(m.group(1)), None, None)
+            return ("BlankNode", self._authored_bnode(self._strip_trailing_dots(m.group(1))), None, None)
         # booleans / numbers before prefixed names ('true' parses as PNAME
         # only with a colon, but check cheap literals first anyway)
         for word, dt in (("true", XSD + "boolean"), ("false", XSD + "boolean")):
@@ -371,7 +380,9 @@ class TurtleParser:
             return
         m = self._match(_BNODE)
         if m:
-            self._read_predicate_object_list("BlankNode", self._strip_trailing_dots(m.group(1)))
+            self._read_predicate_object_list(
+                "BlankNode", self._authored_bnode(self._strip_trailing_dots(m.group(1)))
+            )
             self._expect(".")
             return
         iri = self._read_iri()

@@ -77,7 +77,7 @@ def test_multi_file_bnodes_stay_distinct(spark, tmp_path):
     shared_subjects = {
         r.s for r in rows if r.s_type == "BlankNode" and r.p == E + "owner"
     }
-    assert shared_subjects == {"f0_shared", "f1_shared", "f2_shared"}
+    assert shared_subjects == {"f0_b_shared", "f1_b_shared", "f2_b_shared"}
     anon_objects = {r.o for r in rows if r.o_type == "BlankNode" and r.p == E + "anon"}
     assert len(anon_objects) == 3  # one distinct generated bnode per file
     for label in anon_objects:
@@ -89,7 +89,7 @@ def test_single_file_still_driver_parsed(spark, tmp_path):
     p = tmp_path / "one.ttl"
     p.write_text("@prefix ex: <http://ex.org/> .\n_:b0 ex:p ex:o .\n")
     rows = read_rdf(spark, str(p)).collect()
-    assert [(r.s_type, r.s) for r in rows] == [("BlankNode", "b0")]
+    assert [(r.s_type, r.s) for r in rows] == [("BlankNode", "b_b0")]
 
 
 # -- RDF/XML parseType=Collection + root scoping ---------------------------
@@ -263,11 +263,90 @@ def test_remote_path_expansion(spark, tmp_path):
     got = _expand_hadoop(spark, "file:" + str(d) + "/*.ttl", (".ttl",))
     assert len(got) == 2
 
-    assert _path_key("hdfs://nn:8020/a/b.ttl") == "/a/b.ttl"
+    # only file:'s authority-less vs authority forms collapse; other schemes
+    # keep scheme://authority so equal paths on different filesystems differ
+    assert _path_key("hdfs://nn:8020/a/b.ttl") == "hdfs://nn:8020/a/b.ttl"
+    assert _path_key("hdfs://other/a/b.ttl") != _path_key("hdfs://nn:8020/a/b.ttl")
     assert _path_key("file:/a/b.ttl") == "/a/b.ttl"
+    assert _path_key("file:///a/b.ttl") == "/a/b.ttl"
     assert _path_key(str(d / "a.ttl")) == str(d / "a.ttl")
 
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="SparkSession"):
         expand_paths("hdfs://nn/x", (".ttl",))
+
+
+# -- round-4 hardening: sniffing, comma paths, label namespaces ------------
+
+
+def test_sniff_remote_path_needs_spark():
+    """A scheme-qualified extension-less path must NOT silently fall back to
+    the lossy N-Quads line parser when only the local FS was probed."""
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import _sniff_format
+
+    with pytest.raises(ValueError, match="remote path|SparkSession"):
+        _sniff_format("hdfs://nn/data", None)
+
+
+def test_sniff_remote_dir_via_hadoop(spark, tmp_path):
+    """With a session, remote-style paths classify through the Hadoop FS
+    listing (file: scheme drives the same API as hdfs://, but is handled
+    by the local branch — use the Hadoop branch via a mocked check)."""
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import _sniff_format
+
+    d = tmp_path / "remote_ttls"
+    d.mkdir()
+    (d / "a.ttl").write_text("<http://s> <http://p> <http://o> .\n")
+    # extension-qualified stays extension-dispatched without listing
+    assert _sniff_format("hdfs://nn/x/a.ttl", None) == "turtle"
+    # zero-match local glob fails fast instead of parsing nothing as nquads
+    with pytest.raises(FileNotFoundError):
+        _sniff_format(str(tmp_path / "nope" / "*.xyz"), None)
+
+
+def test_comma_path_rejected(spark, tmp_path):
+    """wholeTextFiles splits its path argument on commas — a comma inside a
+    file name must fail fast, not read two bogus paths."""
+    from rdf_dataset_fragmenter_js_spark.sources.driverfile import _read_distributed
+
+    d = tmp_path / "commas"
+    d.mkdir()
+    good = d / "a.ttl"
+    bad = d / "b,c.ttl"
+    for p in (good, bad):
+        p.write_text("<http://s> <http://p> <http://o> .\n")
+    with pytest.raises(ValueError, match="comma|','"):
+        _read_distributed(spark, [str(good), str(bad)], None, parse_turtle, "turtle")
+
+
+def test_rdfxml_authored_nodeid_disjoint_from_generated():
+    """rdf:nodeID='genid_xml_1' must not merge with an anonymous node."""
+    xml = f"""<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:ex="{E}">
+      <rdf:Description rdf:nodeID="genid_xml_1">
+        <ex:p><rdf:Description><ex:q rdf:resource="{E}v"/></rdf:Description></ex:p>
+      </rdf:Description>
+    </rdf:RDF>"""
+    quads = parse_rdfxml(xml)
+    labels = {q[1] for q in quads if q[0] == "BlankNode"}
+    assert labels == {"b_genid_xml_1", "genid_xml_1"}
+
+
+def test_large_file_warning_fires_for_globs(tmp_path, caplog, monkeypatch, spark):
+    """The 'parses whole in one task' warning must cover the distributed
+    path too, not only the single-file driver path."""
+    import logging
+
+    import rdf_dataset_fragmenter_js_spark.sources.driverfile as dfmod
+
+    d = tmp_path / "warn"
+    d.mkdir()
+    for name in ("a.ttl", "b.ttl"):
+        (d / name).write_text("<http://s> <http://p> <http://o> .\n")
+    monkeypatch.setattr(dfmod, "LARGE_FILE_BYTES", 1)
+    with caplog.at_level(logging.WARNING, logger=dfmod.logger.name):
+        dfmod.read_driver_parsed(
+            spark, str(d), (".ttl",), None, parse_turtle, "turtle"
+        ).collect()
+    warned = [r for r in caplog.records if "executor task" in r.getMessage()]
+    assert len(warned) == 2

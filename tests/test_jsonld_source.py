@@ -166,3 +166,32 @@ def test_multi_file_jsonld_distributed(spark, tmp_path):
         (E + "s0", "f0_b_x"),
         (E + "s1", "f1_b_x"),
     }
+
+
+def test_null_values_are_dropped():
+    """JSON-LD expansion drops null property values, {"@value": null}
+    objects, and nulls inside list arrays — spec-valid documents the
+    reference's parser accepts must not raise."""
+    doc = """{
+      "@context": {"ex": "http://ex.org/", "l": {"@id": "ex:l", "@container": "@list"}},
+      "@id": "ex:s",
+      "ex:gone": null,
+      "ex:mixed": ["keep", null],
+      "ex:vnull": {"@value": null},
+      "l": [null],
+      "ex:explicit": {"@list": ["a", null]}
+    }"""
+    quads = parse_jsonld(doc)
+    E = "http://ex.org/"
+    preds = {q[2] for q in quads}
+    assert E + "gone" not in preds
+    assert E + "vnull" not in preds
+    mixed = [q for q in quads if q[2] == E + "mixed"]
+    assert [(q[3], q[4]) for q in mixed] == [("Literal", "keep")]
+    # all-null authored list → rdf:nil (the surviving item set is empty)
+    lvals = [q for q in quads if q[2] == E + "l"]
+    assert [(q[3], q[4]) for q in lvals] == [
+        ("NamedNode", "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil")
+    ]
+    firsts = [q for q in quads if q[2].endswith("#first")]
+    assert [(q[3], q[4]) for q in firsts] == [("Literal", "a")]

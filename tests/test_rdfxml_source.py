@@ -64,8 +64,8 @@ def test_rdfxml_feature_coverage():
     assert any(q[1] == s and q[2] == E + "p" and q[0] == "NamedNode" for q in quads)
     inner = [q for q in quads if q[2] == E + "inner"]
     assert inner and inner[0][0] == "BlankNode" and inner[0][4] == "v"
-    assert ("BlankNode", "n1", RDF_NS + "type", "NamedNode", E + "Thing", None, None) in vals
-    assert ("BlankNode", "n1", E + "r", "NamedNode", "http://base.org/dir/other", None, None) in vals
+    assert ("BlankNode", "b_n1", RDF_NS + "type", "NamedNode", E + "Thing", None, None) in vals
+    assert ("BlankNode", "b_n1", E + "r", "NamedNode", "http://base.org/dir/other", None, None) in vals
     # property attributes → anonymous bnode
     attrs = [q for q in quads if q[2] == E + "k"]
     assert attrs and attrs[0][0] == "BlankNode" and attrs[0][4] == "v2"

@@ -229,3 +229,39 @@ def test_transform_callback_core_first_ordering(spark, tmp_path):
         "original,matches",
         f"{VOC}Post,{VOC}Post,http://marker/x",
     ]
+
+
+def test_transform_callback_graph_field_default_graph(spark, tmp_path):
+    """fieldToMap='graph' on a DEFAULT-graph quad: the reference writes
+    quad.graph.value === '' — the CSV row must keep the empty fields, not
+    silently drop NULL columns from concat_ws."""
+    nq = tmp_path / "d.nq"
+    nq.write_text(f"<http://ldbc/post1> <{RDF_TYPE}> <{VOC}Post> .\n")
+    out_csv = tmp_path / "gmap.csv"
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": str(nq)},
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkFile",
+            "outputFormat": "parquet",
+            "iriToPath": {"^http://": str(tmp_path) + "/out/"},
+        },
+        "transformCallback": [
+            {
+                "@type": "TransformCallbackMap",
+                "file": str(out_csv),
+                "fieldToMap": "graph",
+                "columns": ["originalGraph", "mappedGraph"],
+                "matchers": [
+                    {
+                        "@type": "QuadMatcherPredicate",
+                        "predicateRegex": "type$",
+                    }
+                ],
+            }
+        ],
+    }
+    run_pipeline_spec(spark, spec, str(tmp_path / "frags"))
+    with open(out_csv) as f:
+        rows = [line.rstrip("\n") for line in f]
+    assert rows == ["originalGraph,mappedGraph", ","]

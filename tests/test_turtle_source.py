@@ -35,7 +35,14 @@ def test_turtle_twin_of_reference_fixture(spark, tmp_path):
         '_:subject2 an:predicate2 "object2" .\n'
     )
     a = _vals(tuple(r)[:8] for r in read_nquads(spark, str(nt)).collect())
-    b = _vals(tuple(r)[:8] for r in read_rdf(spark, str(ttl)).collect())
+    # The Turtle parser maps authored labels into the disjoint 'b_' namespace
+    # (collision-proof vs generated 'genid_ttl_N'); bnode labels are
+    # document-scoped, so compare modulo that bijective rename.
+    def _debnode(r):
+        s = r[1][2:] if r[0] == "BlankNode" and r[1].startswith("b_") else r[1]
+        o = r[4][2:] if r[3] == "BlankNode" and r[4].startswith("b_") else r[4]
+        return (r[0], s, r[2], r[3], o, r[5], r[6], r[7])
+    b = _vals(_debnode(tuple(r)[:8]) for r in read_rdf(spark, str(ttl)).collect())
     assert a == b
 
 
@@ -87,7 +94,7 @@ _:named ex:p ex:o .
     rests = [q for q in quads if q[2] == RDF_NS + "rest"]
     assert sum(1 for q in rests if q[4] == RDF_NS + "nil") == 1
     assert ("NamedNode", E + "empty", E + "items", "NamedNode", RDF_NS + "nil", None, None) in vals
-    assert ("BlankNode", "named", E + "p", "NamedNode", E + "o", None, None) in vals
+    assert ("BlankNode", "b_named", E + "p", "NamedNode", E + "o", None, None) in vals
 
 
 def test_turtle_errors():
@@ -158,8 +165,8 @@ def test_turtle_lexer_edge_cases():
     assert ("NamedNode", E + "s", E + "p", "NamedNode", E + "o", None) in vals
     assert ("NamedNode", E + "s", E + "n", "Literal", "1", XSD + "integer") in vals
     assert ("NamedNode", E + "s", E + "d", "Literal", "1.5", XSD + "decimal") in vals
-    assert ("BlankNode", "b1", E + "p", "NamedNode", E + "o2", None) in vals
-    assert ("NamedNode", E + "s", E + "b", "BlankNode", "b2", None) in vals
+    assert ("BlankNode", "b_b1", E + "p", "NamedNode", E + "o2", None) in vals
+    assert ("NamedNode", E + "s", E + "b", "BlankNode", "b_b2", None) in vals
 
     # long string whose content ends in quote characters (maximal munch)
     quads = parse_turtle('<http://s> <http://p> """abc"""" .')
@@ -175,8 +182,17 @@ def test_turtle_lexer_edge_cases():
         "_:genid1 ex:p [ ex:q ex:v ] .\n"
     )
     labels = {q[1] for q in quads if q[0] == "BlankNode"}
-    gen = {l for l in labels if l != "genid1"}
+    gen = {l for l in labels if l != "b_genid1"}  # authored '_:genid1' → 'b_genid1'
     assert len(gen) == 1
     import re
 
     assert re.fullmatch(r"[A-Za-z0-9_]+", next(iter(gen)))
+
+    # adversarial: a document authoring the generator's own label pattern
+    # must NOT merge with an anonymous bnode (authored → 'b_' namespace)
+    quads = parse_turtle(
+        "@prefix ex: <http://ex.org/> .\n"
+        "_:genid_ttl_1 ex:p [ ex:q ex:v ] .\n"
+    )
+    labels = {q[1] for q in quads if q[0] == "BlankNode"}
+    assert labels == {"b_genid_ttl_1", "genid_ttl_1"}
