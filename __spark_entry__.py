@@ -339,6 +339,38 @@ def q_source_turtle_multifile(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_source_trig_roundtrip(spark, sf_dir):
+    """TriG source e2e: the order quads distributed into 4 named-graph
+    blocks (graph = orderkey % 4) across 4 .trig files, read back through
+    read_rdf's extension dispatch (sources/turtle.py graph blocks) — the
+    graph column must survive the roundtrip. Exercises GRAPH blocks, the
+    distributed multi-file parse, and the quad model's g column together."""
+    import os
+    import tempfile
+
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import (
+        read_rdf,
+        serialize_nquads,
+    )
+
+    quads = TD.order_quads(spark, sf_dir)
+    rows = (
+        serialize_nquads(quads)
+        .select("line", ((F.col("seq") / 10).cast("long") % 4).alias("gk"))
+        .collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="trig_rt_")
+    for k in range(4):
+        lines = [r.line for r in rows if r.gk == k]
+        with open(os.path.join(tmp, f"part{k}.trig"), "w") as f:
+            f.write(f"GRAPH <http://graphs.example/g{k}> {{\n")
+            f.write("\n".join(lines))
+            f.write("\n}\n")
+    return read_rdf(spark, tmp).select(
+        "s_type", "s", "p", "o_type", "o", "o_datatype", "o_lang", "g"
+    )
+
+
 def q_summary_void_dataset(spark, sf_dir):
     quads = assign_datasets(TD.pod_quads(spark, sf_dir), [POD_PATTERN])
     out = void_summary(quads)
@@ -680,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_nquads_roundtrip": q_source_nquads_roundtrip,
         "source_jsonld_roundtrip": q_source_jsonld_roundtrip,
         "source_turtle_multifile": q_source_turtle_multifile,
+        "source_trig_roundtrip": q_source_trig_roundtrip,
         "pipeline_spec": q_pipeline_spec,
         "pipeline_spec_summary": q_pipeline_spec_summary,
         "kg_entity_link": q_kg_entity_link,
@@ -1398,6 +1431,12 @@ def oracle_sql() -> dict[str, str]:
         "source_turtle_multifile": f"""
             WITH quads AS ({_ORDER_QUADS})
             SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
+        """,
+        "source_trig_roundtrip": f"""
+            WITH quads AS ({_ORDER_QUADS})
+            SELECT s_type, s, p, o_type, o, o_datatype, o_lang,
+                   'http://graphs.example/g' || CAST((seq // 10) % 4 AS STRING) AS g
+            FROM quads
         """,
         "pipeline_spec": f"""
             WITH quads AS ({_ORDER_QUADS}),

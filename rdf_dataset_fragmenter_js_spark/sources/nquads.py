@@ -96,8 +96,9 @@ def parse_nquads_strict(lines: DataFrame, text_col: str = "value") -> DataFrame:
 
 #: extensions the vectorized parser handles
 SUPPORTED_EXTENSIONS = (".nt", ".nq", ".ntriples", ".nquads")
-#: extensions the driver-side Turtle parser handles (sources/turtle.py)
-TURTLE_EXTENSIONS = (".ttl", ".turtle")
+#: extensions the driver-side Turtle/TriG parser handles (sources/turtle.py
+#: — TriG is a syntactic superset of Turtle, same parser)
+TURTLE_EXTENSIONS = (".ttl", ".turtle", ".trig")
 #: extensions the driver-side RDF/XML parser handles (sources/rdfxml.py)
 RDFXML_EXTENSIONS = (".rdf", ".owl", ".rdfxml")
 #: extensions the JSON-LD parser handles (sources/jsonld.py; rdf-parse maps

@@ -1,6 +1,7 @@
-"""Turtle source (``lib/io/QuadSourceFile.ts:19-25`` delegates non-N-Quads
-serializations to rdf-parse; Turtle is by far the most common of them in
-real configs).
+"""Turtle + TriG source (``lib/io/QuadSourceFile.ts:19-25`` delegates
+non-N-Quads serializations to rdf-parse; Turtle is by far the most common
+of them in real configs, and TriG — its named-graph superset — is the one
+graph-carrying text format rdf-parse also reads).
 
 Turtle is NOT line-splittable (prefix state, multi-line literals, nested
 blank-node property lists), so unlike the vectorized N-Quads reader this
@@ -18,6 +19,9 @@ numeric (integer/decimal/double) and boolean shorthands, blank-node labels,
 anonymous blank nodes and property lists (``[ … ]``), and collections
 (``( … )`` → rdf:first/rest/nil chains). Relative IRIs resolve against the
 active base (RFC 3986, the same resolver as the engine's column path).
+TriG additions: ``GRAPH <g> { … }``, label-prefixed ``<g> { … }`` and
+anonymous ``{ … }`` graph blocks (blank-node graph labels fail fast — the
+quad model carries one nullable graph-IRI column).
 """
 
 from __future__ import annotations
@@ -90,7 +94,14 @@ def _unescape_string(s: str) -> str:
 
 
 class TurtleParser:
-    """Single-pass recursive-descent parser over the document text."""
+    """Single-pass recursive-descent parser over the document text.
+
+    Also covers TriG (W3C TriG is a syntactic superset of Turtle): graph
+    blocks ``GRAPH <g> { … }``, label-prefixed ``<g> { … }`` and anonymous
+    ``{ … }`` (default graph) populate the quad schema's ``g`` column.
+    Blank-node graph LABELS fail fast — the engine's quad model carries a
+    single nullable graph-IRI string (quads.py), the same reason the
+    N-Quads reader maps ``_:g`` graph terms to the default graph."""
 
     def __init__(self, text: str, base_iri: str | None = None):
         self.text = text
@@ -100,6 +111,7 @@ class TurtleParser:
         self.prefixes: dict[str, str] = {}
         self.quads: list[tuple] = []
         self._bnode_n = 0
+        self.graph: str | None = None  # active TriG graph IRI
 
     # -- lexing helpers ----------------------------------------------------
 
@@ -266,7 +278,7 @@ class TurtleParser:
 
     def _emit(self, s_type, s, p, o_type, o, dt, lang):
         self.quads.append(
-            (s_type, s, p, o_type, o, dt, lang, None, len(self.quads))
+            (s_type, s, p, o_type, o, dt, lang, self.graph, len(self.quads))
         )
 
     def _read_object_term(self):
@@ -363,33 +375,90 @@ class TurtleParser:
             self._expect(".")
         return True
 
-    def _read_triples(self) -> None:
+    def _end_statement(self, in_graph: bool) -> None:
+        """Statements end with '.'; inside a TriG graph block the final
+        '.' is optional before '}' (TriG triplesBlock grammar)."""
+        self._skip_ws()
+        if in_graph and self._peek() == "}":
+            return
+        self._expect(".")
+
+    def _read_triples(self, in_graph: bool = False) -> None:
         self._skip_ws()
         c = self._peek()
         if c == "[":
             label = self._read_bnode_property_list()
             self._skip_ws()
-            if self._peek() != ".":
+            if self._peek() not in (".", "}"):
                 self._read_predicate_object_list("BlankNode", label)
-            self._expect(".")
+            self._end_statement(in_graph)
             return
         if c == "(":
             o_type, head, _, _ = self._read_object_term()
             self._read_predicate_object_list(o_type, head)
-            self._expect(".")
+            self._end_statement(in_graph)
             return
         m = self._match(_BNODE)
         if m:
-            self._read_predicate_object_list(
-                "BlankNode", self._authored_bnode(self._strip_trailing_dots(m.group(1)))
-            )
-            self._expect(".")
+            label = self._authored_bnode(self._strip_trailing_dots(m.group(1)))
+            if not in_graph and self._peek() == "{":
+                raise NotImplementedError(
+                    "TriG blank-node graph labels are not supported — the "
+                    "engine's quad model carries a single graph-IRI column "
+                    "(quads.py); name the graph with an IRI"
+                )
+            self._read_predicate_object_list("BlankNode", label)
+            self._end_statement(in_graph)
             return
         iri = self._read_iri()
         if iri is None:
             raise self._error("expected subject")
+        if not in_graph and self._peek() == "{":
+            self._read_graph_block(iri)  # TriG: '<g> { … }' without GRAPH
+            return
         self._read_predicate_object_list("NamedNode", iri)
-        self._expect(".")
+        self._end_statement(in_graph)
+
+    def _read_graph_block(self, graph_iri: str | None) -> None:
+        """TriG wrappedGraph: '{' triples* '}' with the given active graph
+        (None = explicit default-graph block)."""
+        self._expect("{")
+        self.graph = graph_iri
+        try:
+            while True:
+                self._skip_ws()
+                if self._peek() == "}":
+                    break
+                if self.pos >= self.len:
+                    raise self._error("unterminated graph block (expected '}')")
+                self._read_triples(in_graph=True)
+        finally:
+            self.graph = None
+        self._expect("}")
+
+    def _read_graph_keyword(self) -> bool:
+        """Consume a case-insensitive 'GRAPH' keyword + label + block."""
+        save = self.pos
+        self._skip_ws()
+        if self.text[self.pos : self.pos + 5].upper() != "GRAPH" or re.match(
+            r"[A-Za-z0-9_:\-]", self.text[self.pos + 5 : self.pos + 6] or " "
+        ):
+            self.pos = save
+            return False
+        self.pos += 5
+        self._skip_ws()
+        if self._peek() in ("[", "_"):
+            raise NotImplementedError(
+                "TriG blank-node graph labels are not supported — the engine's "
+                "quad model carries a single graph-IRI column (quads.py); "
+                "name the graph with an IRI"
+            )
+        iri = self._read_iri()
+        if iri is None:
+            raise self._error("expected graph IRI after GRAPH")
+        self._skip_ws()
+        self._read_graph_block(iri)
+        return True
 
     def parse(self) -> list[tuple]:
         while True:
@@ -397,6 +466,11 @@ class TurtleParser:
             if self.pos >= self.len:
                 return self.quads
             if self._read_directive():
+                continue
+            if self._peek() == "{":  # TriG anonymous default-graph block
+                self._read_graph_block(None)
+                continue
+            if self._read_graph_keyword():
                 continue
             self._read_triples()
 
@@ -417,7 +491,7 @@ def read_turtle(spark, path: str, base_iri: str | None = None):
     return read_driver_parsed(
         spark,
         path,
-        (".ttl", ".turtle"),
+        (".ttl", ".turtle", ".trig"),
         base_iri,
         lambda text, base: parse_turtle(text, base_iri=base),
         "read_turtle",

@@ -196,3 +196,63 @@ def test_turtle_lexer_edge_cases():
     )
     labels = {q[1] for q in quads if q[0] == "BlankNode"}
     assert labels == {"b_genid_ttl_1", "genid_ttl_1"}
+
+
+# -- TriG (graph blocks; W3C TriG is a syntactic superset of Turtle) --------
+
+
+def test_trig_graph_blocks():
+    quads = parse_turtle(
+        """
+@prefix ex: <http://ex.org/> .
+ex:s0 ex:p ex:o0 .                      # top-level → default graph
+GRAPH ex:g1 { ex:s1 ex:p ex:o1 . ex:s2 ex:p ex:o2 }
+ex:g2 { ex:s3 ex:p ex:o3 }              # label without GRAPH keyword
+{ ex:s4 ex:p ex:o4 . }                  # anonymous → default graph
+graph ex:g3 { ex:s5 ex:p [ ex:q ex:v ] }
+"""
+    )
+    E = "http://ex.org/"
+    by_s = {q[1]: q[7] for q in quads if q[2] == E + "p"}
+    assert by_s[E + "s0"] is None
+    assert by_s[E + "s1"] == E + "g1"
+    assert by_s[E + "s2"] == E + "g1"  # optional final '.' before '}'
+    assert by_s[E + "s3"] == E + "g2"
+    assert by_s[E + "s4"] is None
+    assert by_s[E + "s5"] == E + "g3"  # case-insensitive keyword
+    # quads emitted INSIDE the bnode property list inherit the block graph
+    inner = [q for q in quads if q[2] == E + "q"]
+    assert inner and inner[0][7] == E + "g3"
+    # graph resets after each block
+    assert parse_turtle("<http://s> <http://p> <http://o> .")[0][7] is None
+
+
+def test_trig_bnode_graph_label_fails_fast():
+    with pytest.raises(NotImplementedError, match="graph"):
+        parse_turtle("GRAPH _:g { <http://s> <http://p> <http://o> . }")
+    with pytest.raises(NotImplementedError, match="graph"):
+        parse_turtle("_:g { <http://s> <http://p> <http://o> . }")
+
+
+def test_trig_errors():
+    with pytest.raises(ValueError, match="unterminated|expected"):
+        parse_turtle("GRAPH <http://g> { <http://s> <http://p> <http://o> .")
+    # GRAPH as a prefixed name must still parse as a subject
+    quads = parse_turtle(
+        "@prefix GRAPH: <http://kw.org/> .\nGRAPH:s GRAPH:p GRAPH:o .\n"
+    )
+    assert quads[0][1] == "http://kw.org/s"
+
+
+def test_trig_dispatch_e2e(spark, tmp_path):
+    p = tmp_path / "d.trig"
+    p.write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        "GRAPH ex:g { ex:s ex:p ex:o . }\n"
+        "ex:s2 ex:p ex:o2 .\n"
+    )
+    rows = {(r.s, r.g) for r in read_rdf(spark, str(p)).collect()}
+    assert rows == {
+        ("http://ex.org/s", "http://ex.org/g"),
+        ("http://ex.org/s2", None),
+    }
