@@ -126,10 +126,10 @@ class _Parser:
                             f"term definition keys {sorted(bad)} are not supported"
                         )
                     container = definition.get("@container")
-                    if container not in (None, "@list", "@set"):
+                    if container not in (None, "@list", "@set", "@index"):
                         raise NotImplementedError(
                             f"@container {container!r} is not supported "
-                            "(only @list/@set; index/language/id/type maps "
+                            "(only @list/@set/@index; language/id/type maps "
                             "need full expansion)"
                         )
                     d = {
@@ -243,6 +243,14 @@ class _Parser:
                 continue  # term does not expand to an IRI → dropped (spec)
             if raw is None:
                 continue  # null value → entry removed (expansion algorithm)
+            if term_def.get("@container") == "@index" and isinstance(raw, dict):
+                # index maps are semantics-free in toRDF: the map VALUES pass
+                # through, the index keys (incl. @none) are dropped
+                raw = [
+                    v
+                    for vs in raw.values()
+                    for v in (vs if isinstance(vs, list) else [vs])
+                ]
             values = [v for v in (raw if isinstance(raw, list) else [raw]) if v is not None]
             if term_def.get("@container") == "@list":
                 self._emit_list(subj, pred, values, term_def, ctx, graph)

@@ -158,11 +158,10 @@ class _Parser:
                 self._emit("NamedNode", reify, RDF_NS + "object", o_type, o_val, dt, ol)
 
         parse_type = prop.get(_RDF + "parseType")
-        if parse_type is not None and parse_type not in ("Resource", "Collection"):
+        if parse_type is not None and parse_type not in ("Resource", "Collection", "Literal"):
             raise NotImplementedError(
-                f"rdf:parseType={parse_type!r} is not supported (only 'Resource' "
-                "and 'Collection'; convert parseType='Literal' documents to "
-                "Turtle/N-Quads)"
+                f"rdf:parseType={parse_type!r} is not supported (only "
+                "'Resource', 'Collection' and 'Literal')"
             )
 
         resource = prop.get(_RDF + "resource")
@@ -175,6 +174,15 @@ class _Parser:
         ]
         children = list(prop)
 
+        if parse_type == "Literal":
+            # RDF/XML §7.2.17: the element content is an rdf:XMLLiteral —
+            # the inner markup serialized verbatim (text + child elements
+            # with their tails), not parsed as RDF
+            parts = [prop.text or ""]
+            for child in prop:
+                parts.append(ET.tostring(child, encoding="unicode"))
+            emit_stmt("Literal", "".join(parts), RDF_NS + "XMLLiteral", None)
+            return li_counter
         if parse_type == "Resource":
             obj = ("BlankNode", self._fresh_bnode())
             emit_stmt(obj[0], obj[1])

@@ -131,14 +131,32 @@ def test_rdfxml_collection_matches_turtle():
     assert canon(xml_rows) == canon(ttl_rows)
 
 
-def test_rdfxml_literal_parsetype_still_fails():
+def test_rdfxml_literal_parsetype_xmlliteral():
+    """parseType='Literal' serializes the inner markup verbatim as an
+    rdf:XMLLiteral (RDF/XML §7.2.17) — nested elements, text and tails."""
     xml = f"""<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:ex="{E}">
       <rdf:Description rdf:about="{E}s">
-        <ex:p rdf:parseType="Literal"><b>x</b></ex:p>
+        <ex:p rdf:parseType="Literal">pre <b>bold <i>it</i></b> post</ex:p>
       </rdf:Description>
     </rdf:RDF>"""
+    rows = parse_rdfxml(xml)
+    assert rows == [
+        (
+            "NamedNode",
+            E + "s",
+            E + "p",
+            "Literal",
+            "pre <b>bold <i>it</i></b> post",
+            RDF_NS + "XMLLiteral",
+            None,
+            None,
+            0,
+        )
+    ]
+    # still-unsupported parseTypes keep the targeted error
+    bad = xml.replace('parseType="Literal"', 'parseType="Other"')
     with pytest.raises(NotImplementedError, match="parseType"):
-        parse_rdfxml(xml)
+        parse_rdfxml(bad)
 
 
 def test_rdfxml_single_node_root_base_applies_once():

@@ -109,8 +109,8 @@ def test_exotic_features_fail_fast():
         parse_jsonld('{"@id": "http://s", "@reverse": {"http://p": {"@id": "http://o"}}}')
     with pytest.raises(NotImplementedError, match="@container"):
         parse_jsonld(
-            '{"@context": {"p": {"@id": "http://p", "@container": "@index"}},'
-            ' "@id": "http://s", "p": {"i": "v"}}'
+            '{"@context": {"p": {"@id": "http://p", "@container": "@language"}},'
+            ' "@id": "http://s", "p": {"en": "v"}}'
         )
 
 
@@ -195,3 +195,33 @@ def test_null_values_are_dropped():
     ]
     firsts = [q for q in quads if q[2].endswith("#first")]
     assert [(q[3], q[4]) for q in firsts] == [("Literal", "a")]
+
+
+def test_index_container_maps():
+    """@index containers are semantics-free in toRDF (JSON-LD 1.1 §4.6.1):
+    the map values pass through, index keys (incl. @none) are dropped."""
+    doc = """{
+      "@context": {
+        "schema": "http://schema.org/",
+        "athletes": {"@id": "schema:athlete", "@container": "@index"}
+      },
+      "@id": "http://ex.org/team",
+      "athletes": {
+        "catcher": {"@id": "http://ex.org/p1", "schema:name": "Molina"},
+        "pitcher": {"@id": "http://ex.org/p2", "schema:name": "Wainwright"},
+        "@none": {"@id": "http://ex.org/p3"},
+        "retired": null
+      }
+    }"""
+    quads = parse_jsonld(doc)
+    athletes = sorted(
+        q[4] for q in quads if q[2] == "http://schema.org/athlete"
+    )
+    assert athletes == ["http://ex.org/p1", "http://ex.org/p2", "http://ex.org/p3"]
+    names = sorted(q[4] for q in quads if q[2] == "http://schema.org/name")
+    assert names == ["Molina", "Wainwright"]
+    # node-level @index entries are ignored, not errors
+    assert parse_jsonld(
+        '{"@id": "http://ex.org/s", "@index": "k", '
+        '"http://ex.org/p": {"@value": "v", "@index": "j"}}'
+    )[0][4] == "v"
