@@ -461,6 +461,17 @@ def _write_single_text(
     # partition order = global seq order
     lines.sort("seq").select("line").write.mode("overwrite").text(tmp)
     parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+    from rdf_dataset_fragmenter_js_spark.sinks.paths import SINGLE_FILE_MAX_BYTES
+
+    total = sum(os.path.getsize(p) for p in parts)
+    if total > SINGLE_FILE_MAX_BYTES:
+        shutil.rmtree(tmp)
+        raise ValueError(
+            f"TransformCallbackMap: output for {file_path!r} is "
+            f"{total >> 20} MB, above the {SINGLE_FILE_MAX_BYTES >> 20} MB "
+            "single-file guard — a matcher matching corpus-sized quad sets "
+            "should route to a parquet sink instead of one callback CSV"
+        )
     with open(file_path, "w") as out:
         out.write(header + "\n")
         for part in parts:

@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 
 ILLEGAL_CHARS = r'[*|"<>?:]'
 
+#: single-file parity outputs (QuadSinkCsv, TransformCallbackMap) are
+#: bounded driver-side concatenations; above this they fail fast with the
+#: parquet alternative named instead of grinding the driver
+SINGLE_FILE_MAX_BYTES = 1 << 30
+
 
 def strip_hash_col(iri: Column) -> Column:
     return F.when(
@@ -199,14 +204,62 @@ def append_fragment_nquads(routed_with_path: DataFrame, output_dir: str) -> Data
     )
 
 
-def sink_csv(routed: DataFrame, columns: list[str], path: str) -> None:
+def sink_csv(
+    routed: DataFrame,
+    columns: list[str],
+    path: str,
+    max_bytes: int = SINGLE_FILE_MAX_BYTES,
+) -> None:
     """``QuadSinkCsv`` (``lib/io/QuadSinkCsv.ts:42-60``): write selected quad
     term values as CSV with header; single file for parity with the
-    reference's one-file output."""
+    reference's one-file output.
+
+    The write itself is DISTRIBUTED (every executor writes its partition);
+    the single-file parity merge happens afterwards on the driver, gated by
+    ``max_bytes`` — a misconfigured matcher producing a corpus-sized CSV
+    fails fast with the parquet alternative named instead of grinding one
+    process. Non-local destinations keep the multi-part layout (still a
+    header-carrying CSV dataset for any reader)."""
+    import glob as _glob
+    import logging
+    import os
+
     from rdf_dataset_fragmenter_js_spark.operators.matchers import TERM_COLUMNS
 
     cols = [F.col(TERM_COLUMNS[c][0]).alias(c) for c in columns]
-    routed.select(*cols).coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", path) and not path.startswith("file:"):
+        # non-local destination: the driver can't merge part files — keep
+        # the reference's one-file shape via a single write task (unguarded;
+        # prefer parquet for corpus-sized outputs)
+        logging.getLogger(__name__).warning(
+            "QuadSinkCsv: non-local destination %s writes through ONE task "
+            "with no size guard — use outputFormat='parquet' for large outputs",
+            path,
+        )
+        routed.select(*cols).coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).csv(path)
+        return
+    routed.select(*cols).write.mode("overwrite").csv(path)
+    parts = sorted(_glob.glob(os.path.join(path, "part-*")))
+    total = sum(os.path.getsize(p) for p in parts)
+    if total > max_bytes:
+        raise ValueError(
+            f"QuadSinkCsv: output is {total >> 20} MB, above the "
+            f"{max_bytes >> 20} MB single-file guard — use "
+            "outputFormat='parquet' (distributed, splittable) or raise "
+            "max_bytes if one giant CSV is really wanted"
+        )
+    merged = os.path.join(path, "part-00000-merged.csv")
+    with open(merged, "w") as out:
+        out.write(",".join(columns) + "\n")
+        import shutil
+
+        for p in parts:
+            with open(p) as inp:
+                shutil.copyfileobj(inp, out)
+    for p in parts:
+        os.remove(p)
 
 
 def sink_filtered(routed: DataFrame, marker) -> DataFrame:

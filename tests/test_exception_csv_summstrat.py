@@ -5,6 +5,7 @@ CSV sink projection (``QuadSinkCsv-test.ts``), composite strategy tee."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from rdf_dataset_fragmenter_js_spark.operators.matchers import (
@@ -125,3 +126,35 @@ def test_term_value_matcher_group_sampling_golden(spark):
         if imurmurhash(str(i)) / MURMURHASH3_MAX_VALUE <= p
     )
     assert got == expected
+
+
+def test_single_file_guards(spark, tmp_path, monkeypatch):
+    """Round-4: single-file parity outputs fail fast above the size guard
+    (naming the parquet alternative) instead of grinding the driver."""
+    import rdf_dataset_fragmenter_js_spark.plans.pipeline as plmod
+    import rdf_dataset_fragmenter_js_spark.sinks.paths as pmod
+
+    df = spark.createDataFrame(
+        [("NamedNode", f"ex:s{i}", "ex:p", "NamedNode", "ex:o", None, None, None, i) for i in range(50)],
+        "s_type string, s string, p string, o_type string, o string, "
+        "o_datatype string, o_lang string, g string, seq long",
+    ).withColumn("doc", F.col("s"))
+
+    monkeypatch.setattr(pmod, "SINGLE_FILE_MAX_BYTES", 10)
+    with pytest.raises(ValueError, match="parquet"):
+        sink_csv(df, ["subject"], str(tmp_path / "big_csv"), max_bytes=10)
+
+    lines = df.select("seq", F.col("s").alias("line"))
+    with pytest.raises(ValueError, match="parquet"):
+        plmod._write_single_text(lines, "h", str(tmp_path / "big.txt"))
+
+    # under the guard the merged single CSV file round-trips with header
+    out = str(tmp_path / "ok_csv")
+    sink_csv(df, ["subject"], out)
+    import glob as g
+    import os
+
+    files = [p for p in g.glob(os.path.join(out, "part-*")) if os.path.getsize(p) > 0]
+    assert len(files) == 1  # merged to one part
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 50
