@@ -371,6 +371,51 @@ def q_source_trig_roundtrip(spark, sf_dir):
     )
 
 
+def q_streaming_pipeline(spark, sf_dir):
+    """Streaming runner e2e gate: the order quads written as an append-only
+    N-Quads directory, drained with trigger=availableNow through
+    stream_pipeline_spec (streaming/fragment.py) into partitioned parquet,
+    read back and compared against the plain quad oracle — the stream and
+    batch pipelines must agree on routed quads."""
+    import os
+    import tempfile
+
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import serialize_nquads
+    from rdf_dataset_fragmenter_js_spark.streaming.fragment import (
+        stream_pipeline_spec,
+    )
+
+    lines = [
+        r.line
+        for r in serialize_nquads(TD.order_quads(spark, sf_dir)).select("line").collect()
+    ]
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    for i in range(2):
+        with open(os.path.join(src, f"arrival{i}.nq"), "w") as f:
+            f.write("\n".join(lines[i::2]) + "\n")
+    out = tempfile.mkdtemp(prefix="stream_out_")
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": src},
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkFile",
+            "outputFormat": "parquet",
+            # collapse to one fragment: the gate exercises the streaming
+            # runner; per-doc partition fan-out is covered by the batch
+            # sink tests (thousands of 4-row parquet dirs would dominate
+            # the runtime here without adding coverage)
+            "iriToPath": {"^http://ex\\.org/order/\\d+$": "orders"},
+        },
+    }
+    q = stream_pipeline_spec(
+        spark, spec, out, tempfile.mkdtemp(prefix="stream_ck_")
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select(
+        "s_type", "s", "p", "o_type", "o", "o_datatype", "o_lang", "doc"
+    )
+
+
 def q_summary_void_dataset(spark, sf_dir):
     quads = assign_datasets(TD.pod_quads(spark, sf_dir), [POD_PATTERN])
     out = void_summary(quads)
@@ -713,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_jsonld_roundtrip": q_source_jsonld_roundtrip,
         "source_turtle_multifile": q_source_turtle_multifile,
         "source_trig_roundtrip": q_source_trig_roundtrip,
+        "streaming_pipeline": q_streaming_pipeline,
         "pipeline_spec": q_pipeline_spec,
         "pipeline_spec_summary": q_pipeline_spec_summary,
         "kg_entity_link": q_kg_entity_link,
@@ -1436,6 +1482,11 @@ def oracle_sql() -> dict[str, str]:
             WITH quads AS ({_ORDER_QUADS})
             SELECT s_type, s, p, o_type, o, o_datatype, o_lang,
                    'http://graphs.example/g' || CAST((seq // 10) % 4 AS STRING) AS g
+            FROM quads
+        """,
+        "streaming_pipeline": f"""
+            WITH quads AS ({_ORDER_QUADS})
+            SELECT s_type, s, p, o_type, o, o_datatype, o_lang, s AS doc
             FROM quads
         """,
         "pipeline_spec": f"""

@@ -200,8 +200,12 @@ def read_driver_parsed(
     return _read_distributed(spark, files, base_iri, parse_fn, format_name)
 
 
-def _read_distributed(spark, files, base_iri, parse_fn, format_name):
-    """Per-file parse on executors; dense file-major ``seq``."""
+def _read_distributed(spark, files, base_iri, parse_fn, format_name, bnode_salt=""):
+    """Per-file parse on executors; dense file-major ``seq``.
+
+    ``bnode_salt`` prefixes the per-file blank-node namespace (streaming
+    passes ``b{batch_id}_`` so labels can never collide ACROSS micro-batches
+    appending into the same fragment files)."""
     from pyspark.sql import functions as F
 
     from rdf_dataset_fragmenter_js_spark.quads import QUAD_SCHEMA
@@ -229,7 +233,7 @@ def _read_distributed(spark, files, base_iri, parse_fn, format_name):
             raise ValueError(
                 f"{format_name}: wholeTextFiles returned unexpected path {uri!r}"
             )
-        rows = _parse_file_rows(text, base, local_path, parse_fn, f"f{idx}_")
+        rows = _parse_file_rows(text, base, local_path, parse_fn, f"{bnode_salt}f{idx}_")
         return [(idx,) + r for r in rows]
 
     rdd = sc.wholeTextFiles(

@@ -28,31 +28,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 _NQ_EXTENSIONS = (".nt", ".nq")
 
+#: binaryFile's fixed schema (file streams require it to be explicit)
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
 
-def _check_nquads_path(path: str) -> None:
-    """The line reader consumes N-Quads/N-Triples only; a directory of
-    ``.ttl`` files would be silently lexed as malformed lines and dropped,
-    so fail fast on anything else (Turtle/RDF-XML: convert upstream)."""
+
+def _classify_child(path: str) -> str:
+    """Map a child source path to its streaming ingestion format:
+    'nquads' (vectorized line stream) or 'turtle'/'rdfxml'/'jsonld'
+    (per-file parse over a binaryFile stream). Ambiguous or unknown
+    targets fail fast — a directory of ``.ttl`` files lexed as N-Quads
+    lines would silently drop every quad."""
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import _sniff_format
+
     base = path.rstrip("/")
     if base.lower().endswith(_NQ_EXTENSIONS) or any(c in base for c in "*?["):
-        return
-    if os.path.isdir(base):
-        bad = [
-            f
-            for f in os.listdir(base)
-            if "." in f and not f.lower().endswith(_NQ_EXTENSIONS)
-        ]
-        if bad:
-            raise ValueError(
-                f"stream_pipeline_spec reads N-Quads/N-Triples lines, but "
-                f"{base!r} contains {bad[:3]!r} — convert other RDF "
-                "serializations to .nt/.nq before streaming them"
-            )
-        return
-    raise ValueError(
-        f"stream_pipeline_spec source filePath {path!r} must target "
-        ".nt/.nq files (file, glob, or directory)"
-    )
+        # globs stream whatever they match; sniff decides the parser
+        try:
+            return _sniff_format(base)
+        except FileNotFoundError:
+            # empty-now append directory: a glob that matches nothing yet
+            # defaults to the line reader (the reference's default format)
+            return "nquads"
+    if os.path.isdir(base) or not os.path.exists(base):
+        return _sniff_format(base) if os.path.isdir(base) else "nquads"
+    return _sniff_format(base)
 
 from rdf_dataset_fragmenter_js_spark.plans.pipeline import (
     build_strategy,
@@ -77,11 +78,14 @@ def stream_pipeline_spec(
 
     ``spec`` is the same componentsjs-shaped spec as ``run_pipeline_spec``;
     the source is a ``QuadSourceFile`` (directory/glob of ``.nq``/``.nt``
-    files) or a ``QuadSourceComposite`` of them (per-child ``baseIRI``
-    honored), and the sink a ``QuadSinkFile`` — ``outputFormat='parquet'``
-    appends exactly-once partitioned parquet; the default N-Quads layout
-    appends per-fragment ``.nq`` files (at-least-once under batch replay,
-    like the reference's append streams)."""
+    files — streamed as vectorized lines — or of ``.ttl``/``.trig``/
+    ``.rdf``/``.jsonld`` files, streamed as file arrivals via binaryFile
+    and parsed per-file on executors like the batch read) or a
+    ``QuadSourceComposite`` of them (per-child ``baseIRI`` honored), and
+    the sink a ``QuadSinkFile`` — ``outputFormat='parquet'`` appends
+    exactly-once partitioned parquet; the default N-Quads layout appends
+    per-fragment ``.nq`` files (at-least-once under batch replay, like the
+    reference's append streams)."""
     from pyspark.sql import functions as F
 
     src = spec["quadSource"]
@@ -99,8 +103,7 @@ def stream_pipeline_spec(
         raise NotImplementedError(
             f"stream_pipeline_spec cannot consume source @type {src['@type']!r}"
         )
-    for c in children:
-        _check_nquads_path(c["filePath"])
+    kinds = [_classify_child(c["filePath"]) for c in children]
     sink = spec["quadSink"]
     if sink["@type"] != "QuadSinkFile":
         raise NotImplementedError(
@@ -115,19 +118,7 @@ def stream_pipeline_spec(
     strategy_spec = spec["fragmentationStrategy"]
     base_iris = [c.get("baseIRI") for c in children]
 
-    def process(batch_lines: DataFrame, batch_id: int) -> None:
-        parts = []
-        for i, base_iri in enumerate(base_iris):
-            part = parse_nquads_lines(
-                batch_lines.filter(F.col("__src") == i).select("value")
-            )
-            if base_iri:
-                # same relative-IRI semantics as the batch read_rdf path
-                part = resolve_terms_against_base(part, base_iri)
-            parts.append(part)
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
+    def _route_and_write(df: DataFrame) -> None:
         for tr in transformer_specs:
             df = build_transformer(tr)(df)
         routed = build_strategy(strategy_spec)(df)
@@ -143,12 +134,95 @@ def stream_pipeline_spec(
 
             append_fragment_nquads(with_path, output_dir).collect()
 
-    lines = None
-    for i, c in enumerate(children):
-        part = spark.readStream.text(c["filePath"]).withColumn("__src", F.lit(i))
-        lines = part if lines is None else lines.unionByName(part)
+    all_nquads = all(k == "nquads" for k in kinds)
+
+    if all_nquads:
+        # vectorized line stream (splittable; the original round-3 path)
+        def process(batch_lines: DataFrame, batch_id: int) -> None:
+            parts = []
+            for i, base_iri in enumerate(base_iris):
+                part = parse_nquads_lines(
+                    batch_lines.filter(F.col("__src") == i).select("value")
+                )
+                if base_iri:
+                    # same relative-IRI semantics as the batch read_rdf path
+                    part = resolve_terms_against_base(part, base_iri)
+                parts.append(part)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            _route_and_write(df)
+
+        lines = None
+        for i, c in enumerate(children):
+            part = spark.readStream.text(c["filePath"]).withColumn("__src", F.lit(i))
+            lines = part if lines is None else lines.unionByName(part)
+        stream = lines
+    else:
+        # mixed / parsed formats (Turtle, TriG, RDF/XML, JSON-LD): stream
+        # file ARRIVALS via binaryFile (content column pruned — only paths
+        # reach the driver), then parse each batch's files on executors
+        # through the same distributed per-file machinery as the batch path
+        # (sources/driverfile.py), bnode-namespaced per (batch, file) so
+        # labels never collide across appends into one fragment.
+        from rdf_dataset_fragmenter_js_spark.sources.driverfile import (
+            _read_distributed,
+        )
+        from rdf_dataset_fragmenter_js_spark.sources.jsonld import parse_jsonld
+        from rdf_dataset_fragmenter_js_spark.sources.rdfxml import parse_rdfxml
+        from rdf_dataset_fragmenter_js_spark.sources.turtle import parse_turtle
+
+        parse_fns = {
+            "turtle": lambda text, base: parse_turtle(text, base_iri=base),
+            "rdfxml": lambda text, base: parse_rdfxml(text, base_iri=base),
+            "jsonld": lambda text, base: parse_jsonld(text, base_iri=base),
+        }
+
+        def process(batch_files: DataFrame, batch_id: int) -> None:
+            parts = []
+            for i, (base_iri, kind) in enumerate(zip(base_iris, kinds)):
+                files = sorted(
+                    r.path
+                    for r in batch_files.filter(F.col("__src") == i)
+                    .select("path")
+                    .collect()
+                )
+                if not files:
+                    continue
+                if kind == "nquads":
+                    part = parse_nquads_lines(spark.read.text(files))
+                    if base_iri:
+                        part = resolve_terms_against_base(part, base_iri)
+                else:
+                    part = _read_distributed(
+                        spark,
+                        files,
+                        base_iri,
+                        parse_fns[kind],
+                        f"stream_{kind}",
+                        bnode_salt=f"b{batch_id}_",
+                    )
+                parts.append(part)
+            if not parts:
+                return
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            _route_and_write(df)
+
+        stream = None
+        for i, c in enumerate(children):
+            part = (
+                spark.readStream.format("binaryFile")
+                .schema(_BINARY_FILE_SCHEMA)
+                .load(c["filePath"])
+                .select("path")
+                .withColumn("__src", F.lit(i))
+            )
+            stream = part if stream is None else stream.unionByName(part)
+
     writer = (
-        lines.writeStream.foreachBatch(process)
+        stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

@@ -210,22 +210,68 @@ def test_near_dup_clusters_nonconvergence_warns(spark, caplog):
 # -- streaming source validation + baseIRI ---------------------------------
 
 
-def test_stream_rejects_non_nquads_dir(spark, tmp_path):
+def test_stream_turtle_dir_incremental(spark, tmp_path):
+    """Round-4: Turtle directories stream too (binaryFile file-arrival
+    stream + per-file executor parse). Two availableNow drains over a
+    GROWING directory with one checkpoint: the second run must process
+    ONLY the new file and append, with batch-salted bnode labels."""
     from rdf_dataset_fragmenter_js_spark.streaming.fragment import stream_pipeline_spec
 
-    src = tmp_path / "bad"
+    src = tmp_path / "ttls"
     src.mkdir()
-    (src / "x.ttl").write_text("@prefix ex: <http://ex.org/> .\nex:s ex:p ex:o .\n")
+    (src / "a.ttl").write_text(
+        "@prefix ex: <http://ex.org/> .\nex:s1 ex:p ex:o1 ; ex:anon [ ex:q ex:v ] .\n"
+    )
     spec = {
         "quadSource": {"@type": "QuadSourceFile", "filePath": str(src)},
         "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
         "quadSink": {
             "@type": "QuadSinkFile",
             "outputFormat": "parquet",
-            "iriToPath": {"^http://ex\\.org/": "f/"},
+            "iriToPath": {"^http://ex\\.org/": "frags/"},
         },
     }
-    with pytest.raises(ValueError, match="N-Quads"):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_pipeline_spec(spark, spec, out, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).collect()
+    assert {r.s for r in first if r.p == E + "p"} == {E + "s1"}
+
+    (src / "b.ttl").write_text(
+        "@prefix ex: <http://ex.org/> .\nex:s2 ex:p ex:o2 ; ex:anon [ ex:q ex:v ] .\n"
+    )
+    q = stream_pipeline_spec(spark, spec, out, ckpt)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert {r.s for r in rows if r.p == E + "p"} == {E + "s1", E + "s2"}
+    # incremental: a.ttl was NOT reprocessed (still exactly one s1 ex:p quad)
+    assert sum(1 for r in rows if r.s == E + "s1" and r.p == E + "p") == 1
+    # bnode labels are salted per batch AND per file → all distinct
+    anon = [r.o for r in rows if r.p == E + "anon"]
+    assert len(anon) == 2 and len(set(anon)) == 2
+    for label in anon:
+        assert re.fullmatch(r"b\d+_f\d+_[A-Za-z0-9_]+", label)
+
+
+def test_stream_mixed_serializations_rejected(spark, tmp_path):
+    """A directory mixing serializations still fails fast (the sniffer
+    cannot pick one parser for it)."""
+    from rdf_dataset_fragmenter_js_spark.streaming.fragment import stream_pipeline_spec
+
+    src = tmp_path / "mixed"
+    src.mkdir()
+    (src / "x.ttl").write_text("<http://s> <http://p> <http://o> .\n")
+    (src / "y.nq").write_text("<http://s> <http://p> <http://o> .\n")
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": str(src)},
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkFile",
+            "outputFormat": "parquet",
+            "iriToPath": {"^http://": "f/"},
+        },
+    }
+    with pytest.raises(ValueError, match="mixes"):
         stream_pipeline_spec(spark, spec, str(tmp_path / "o"), str(tmp_path / "c"))
 
 
