@@ -18,13 +18,17 @@ Coverage — the JSON-LD 1.0 core that appears in real data documents:
   ``sources/driverfile.py`` for multi-file reads);
 * JSON literals: numbers → ``xsd:integer`` / ``xsd:double`` (canonical
   exponent form per the JSON-LD toRDF algorithm), booleans →
-  ``xsd:boolean``.
+  ``xsd:boolean``;
+* JSON-LD 1.1: ``@reverse`` (node key and term definitions), ``@nest``
+  (node key and term-definition passthrough), ``@included`` blocks,
+  container maps (``@index`` / ``@language`` / ``@id`` / ``@type``,
+  incl. ``@none`` keys and ``["@set", ...]`` forms), and the inert
+  context keywords ``@version`` / ``@protected`` / ``@prefix``.
 
 Exotic features fail fast with a targeted message instead of silently
 mis-parsing: REMOTE contexts (a context URL — the engine does no network
-I/O), ``@reverse``, ``@nest``, ``@included``, ``@json`` literals,
-container maps (``@index``/``@language``/``@id``/``@type`` containers),
-and framing documents.
+I/O), ``@json`` literals, ``@direction``, ``@graph`` containers, and
+framing documents.
 """
 
 from __future__ import annotations
@@ -38,9 +42,10 @@ XSD = "http://www.w3.org/2001/XMLSchema#"
 
 _KEYWORDS = {
     "@id", "@type", "@value", "@language", "@list", "@set", "@graph",
-    "@context", "@base", "@vocab", "@index",
+    "@context", "@base", "@vocab", "@index", "@reverse", "@nest",
+    "@included",
 }
-_UNSUPPORTED_KEYS = {"@reverse", "@nest", "@included", "@direction", "@version"}
+_UNSUPPORTED_KEYS = {"@direction"}
 _ABSOLUTE_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 
@@ -112,7 +117,12 @@ class _Parser:
         for _ in range(2):
             for term, definition in ctx_json.items():
                 if term.startswith("@"):
-                    if term not in ("@base", "@vocab", "@language"):
+                    # @version/@propagate/@protected are processing-mode
+                    # flags with no effect on toRDF output — accepted inert
+                    if term not in (
+                        "@base", "@vocab", "@language",
+                        "@version", "@propagate", "@protected",
+                    ):
                         raise NotImplementedError(
                             f"@context keyword {term!r} is not supported"
                         )
@@ -120,23 +130,37 @@ class _Parser:
                 if isinstance(definition, str):
                     out.terms[term] = {"@id": self._expand_iri(definition, out, vocab=True)}
                 elif isinstance(definition, dict):
-                    bad = set(definition) - {"@id", "@type", "@container", "@language"}
+                    bad = set(definition) - {
+                        "@id", "@type", "@container", "@language",
+                        "@reverse", "@nest", "@protected", "@prefix",
+                    }
                     if bad:
                         raise NotImplementedError(
                             f"term definition keys {sorted(bad)} are not supported"
                         )
-                    container = definition.get("@container")
-                    if container not in (None, "@list", "@set", "@index"):
-                        raise NotImplementedError(
-                            f"@container {container!r} is not supported "
-                            "(only @list/@set/@index; language/id/type maps "
-                            "need full expansion)"
-                        )
-                    d = {
-                        "@id": self._expand_iri(
-                            definition.get("@id", term), out, vocab=True
-                        )
-                    }
+                    container = self._normalize_container(definition.get("@container"))
+                    if "@reverse" in definition:
+                        if "@id" in definition:
+                            raise ValueError(
+                                f"term {term!r} has both @id and @reverse"
+                            )
+                        if container not in (None, "@index"):
+                            raise ValueError(
+                                f"reverse term {term!r} only allows "
+                                "@set/@index containers"
+                            )
+                        d = {
+                            "@id": self._expand_iri(
+                                definition["@reverse"], out, vocab=True
+                            ),
+                            "reverse": True,
+                        }
+                    else:
+                        d = {
+                            "@id": self._expand_iri(
+                                definition.get("@id", term), out, vocab=True
+                            )
+                        }
                     if "@type" in definition:
                         t = definition["@type"]
                         if t == "@json":
@@ -152,6 +176,27 @@ class _Parser:
                 else:
                     raise ValueError(f"invalid term definition for {term!r}")
         return out
+
+    @staticmethod
+    def _normalize_container(container):
+        """``@container`` → one of None/@list/@index/@language/@id/@type.
+        JSON-LD 1.1 array forms combine with ``@set`` (order-insensitive);
+        ``@set`` alone is a no-op for toRDF."""
+        if isinstance(container, list):
+            rest = [c for c in container if c != "@set"]
+            if len(rest) > 1:
+                raise NotImplementedError(
+                    f"@container combination {container!r} is not supported"
+                )
+            container = rest[0] if rest else None
+        if container == "@set":
+            container = None
+        if container not in (None, "@list", "@index", "@language", "@id", "@type"):
+            raise NotImplementedError(
+                f"@container {container!r} is not supported "
+                "(@graph containers need full 1.1 expansion)"
+            )
+        return container
 
     # -- IRI expansion -----------------------------------------------------
 
@@ -229,6 +274,13 @@ class _Parser:
                 "NamedNode", self._expand_iri(t, ctx, vocab=True), g=graph,
             )
 
+        self._process_properties(obj, subj, ctx, graph)
+        return subj
+
+    def _process_properties(self, obj: dict, subj, ctx: _Context, graph) -> None:
+        """Emit the quads for a node object's (non-``@type``) properties
+        against ``subj`` — factored out so ``@nest`` objects can replay
+        their entries on the parent subject."""
         for key, raw in obj.items():
             if key in _KEYWORDS or key.startswith("@"):
                 if key == "@graph":  # named graph nested under a node @id
@@ -236,28 +288,130 @@ class _Parser:
                     g = subj[1] if subj[0] == "NamedNode" else None
                     for n in inner:
                         self.node(n, ctx, g)
+                elif key == "@included":  # extra top-level-like nodes
+                    for n in raw if isinstance(raw, list) else [raw]:
+                        self.node(n, ctx, graph)
+                elif key == "@reverse":
+                    if not isinstance(raw, dict):
+                        raise ValueError(f"@reverse must be a map, got {raw!r}")
+                    for rkey, rraw in raw.items():
+                        rdef = ctx.terms.get(rkey, {})
+                        pred = (
+                            rdef.get("@id")
+                            if rkey in ctx.terms
+                            else self._expand_iri(rkey, ctx, vocab=True)
+                        )
+                        if not (_ABSOLUTE_IRI.match(pred) or pred.startswith("_:")):
+                            continue
+                        for value in rraw if isinstance(rraw, list) else [rraw]:
+                            self._reverse_object(subj, pred, value, rdef, ctx, graph)
+                elif key == "@nest":
+                    self._process_nest(raw, subj, ctx, graph)
                 continue
             term_def = ctx.terms.get(key, {})
             pred = term_def.get("@id") if key in ctx.terms else self._expand_iri(key, ctx, vocab=True)
+            if pred == "@nest":  # nest-alias term: replay on the parent
+                self._process_nest(raw, subj, ctx, graph)
+                continue
             if not (_ABSOLUTE_IRI.match(pred) or pred.startswith("_:")):
                 continue  # term does not expand to an IRI → dropped (spec)
             if raw is None:
                 continue  # null value → entry removed (expansion algorithm)
-            if term_def.get("@container") == "@index" and isinstance(raw, dict):
-                # index maps are semantics-free in toRDF: the map VALUES pass
-                # through, the index keys (incl. @none) are dropped
-                raw = [
-                    v
-                    for vs in raw.values()
-                    for v in (vs if isinstance(vs, list) else [vs])
-                ]
+            container = term_def.get("@container")
+            if isinstance(raw, dict) and container in ("@index", "@language", "@id", "@type"):
+                raw = self._expand_container_map(container, raw, ctx)
             values = [v for v in (raw if isinstance(raw, list) else [raw]) if v is not None]
-            if term_def.get("@container") == "@list":
+            if term_def.get("reverse"):
+                for value in values:
+                    self._reverse_object(subj, pred, value, term_def, ctx, graph)
+                continue
+            if container == "@list":
                 self._emit_list(subj, pred, values, term_def, ctx, graph)
                 continue
             for value in values:
                 self._object(subj, pred, value, term_def, ctx, graph)
-        return subj
+
+    def _process_nest(self, raw, subj, ctx: _Context, graph) -> None:
+        """``@nest`` groups properties visually without changing the graph:
+        each nested map's entries are emitted against the PARENT subject."""
+        for nested in raw if isinstance(raw, list) else [raw]:
+            if not isinstance(nested, dict) or "@value" in nested:
+                raise ValueError(
+                    f"@nest value must be a node-like map, got {nested!r}"
+                )
+            nctx = ctx
+            if "@context" in nested:
+                nctx = self.parse_context(nested["@context"], ctx)
+            self._process_properties(nested, subj, nctx, graph)
+
+    def _expand_container_map(self, container: str, raw: dict, ctx: _Context) -> list:
+        """Flatten a 1.1 container map to the plain value list the normal
+        object path consumes. ``@index`` keys are semantics-free in toRDF;
+        ``@language``/``@id``/``@type`` keys fold INTO each value; the
+        ``@none`` key means "no index/language/id/type"."""
+        out = []
+        for k, vs in raw.items():
+            for v in vs if isinstance(vs, list) else [vs]:
+                if v is None:
+                    continue
+                if container == "@index":
+                    out.append(v)
+                elif container == "@language":
+                    if not isinstance(v, str):
+                        raise ValueError(
+                            f"@language map values must be strings, got {v!r}"
+                        )
+                    out.append(
+                        {"@value": v} if k == "@none" else {"@value": v, "@language": k}
+                    )
+                elif container == "@id":
+                    if isinstance(v, str):
+                        v = {"@id": v}
+                    if not isinstance(v, dict):
+                        raise ValueError(f"@id map values must be node objects, got {v!r}")
+                    if k != "@none" and "@id" not in v:
+                        v = {**v, "@id": k}
+                    out.append(v)
+                else:  # @type map
+                    if isinstance(v, str):
+                        v = {"@id": v}
+                    if not isinstance(v, dict):
+                        raise ValueError(f"@type map values must be node objects, got {v!r}")
+                    if k != "@none":
+                        prev = v.get("@type", [])
+                        prev = prev if isinstance(prev, list) else [prev]
+                        if k not in prev:
+                            v = {**v, "@type": [k] + prev}
+                    out.append(v)
+        return out
+
+    def _reverse_object(self, subj, pred, value, term_def, ctx, graph) -> None:
+        """``@reverse`` semantics: the VALUE becomes the triple's subject
+        and the current node its object. Literal values are invalid
+        (JSON-LD 'invalid reverse property value')."""
+        if isinstance(value, dict):
+            if "@value" in value or "@list" in value:
+                raise ValueError(
+                    f"invalid reverse property value for {pred!r}: literals/"
+                    "lists cannot be reversed"
+                )
+            if set(value) <= {"@id"} and "@id" in value:
+                o = self._subject_term(value["@id"], ctx)
+            else:
+                o = self.node(value, ctx, graph)
+        elif isinstance(value, str):
+            if term_def.get("@type") == "@id" or _ABSOLUTE_IRI.match(value) or value.startswith("_:"):
+                o = self._subject_term(value, ctx)
+            else:
+                raise ValueError(
+                    f"invalid reverse property value for {pred!r}: {value!r} "
+                    "is a string literal (reverse values must be nodes)"
+                )
+        else:
+            raise ValueError(
+                f"invalid reverse property value for {pred!r}: {value!r}"
+            )
+        self._emit(o[0], o[1], pred, subj[0], subj[1], g=graph)
 
     def _emit_list(self, subj, pred, values, term_def, ctx, graph) -> None:
         values = [v for v in values if v is not None]  # expansion null-drop

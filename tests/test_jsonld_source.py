@@ -105,13 +105,100 @@ def test_nested_nodes_and_doubles():
 def test_exotic_features_fail_fast():
     with pytest.raises(NotImplementedError, match="remote @context"):
         parse_jsonld('{"@context": "http://schema.org/", "@id": "http://s"}')
-    with pytest.raises(NotImplementedError, match="@reverse"):
-        parse_jsonld('{"@id": "http://s", "@reverse": {"http://p": {"@id": "http://o"}}}')
+    with pytest.raises(NotImplementedError, match="@json"):
+        parse_jsonld(
+            '{"@context": {"p": {"@id": "http://p", "@type": "@json"}},'
+            ' "@id": "http://s", "p": {"a": 1}}'
+        )
     with pytest.raises(NotImplementedError, match="@container"):
         parse_jsonld(
-            '{"@context": {"p": {"@id": "http://p", "@container": "@language"}},'
-            ' "@id": "http://s", "p": {"en": "v"}}'
+            '{"@context": {"p": {"@id": "http://p", "@container": "@graph"}},'
+            ' "@id": "http://s", "p": {"http://q": "v"}}'
         )
+
+
+def test_reverse_node_key_and_term():
+    # node-level @reverse: the VALUE is the triple's subject
+    rows = parse_jsonld(
+        '{"@id": "http://ex.org/s",'
+        ' "@reverse": {"http://ex.org/parentOf": [{"@id": "http://ex.org/o"},'
+        '   {"@id": "http://ex.org/o2", "http://ex.org/name": "kid"}]}}'
+    )
+    vals = {(q[1], q[2], q[4]) for q in rows}
+    assert (E + "o", E + "parentOf", E + "s") in vals
+    assert (E + "o2", E + "parentOf", E + "s") in vals
+    assert (E + "o2", E + "name", "kid") in vals
+    # term-level {"@reverse": ...} definition, compacted usage
+    rows = parse_jsonld(
+        '{"@context": {"children": {"@reverse": "http://ex.org/parentOf"}},'
+        ' "@id": "http://ex.org/mom", "children": [{"@id": "http://ex.org/kid"}]}'
+    )
+    assert {(q[1], q[2], q[4]) for q in rows} == {(E + "kid", E + "parentOf", E + "mom")}
+    # literals cannot be reversed
+    with pytest.raises(ValueError, match="reverse"):
+        parse_jsonld('{"@id": "http://s", "@reverse": {"http://p": [{"@value": "x"}]}}')
+
+
+def test_language_container_map():
+    rows = parse_jsonld(
+        '{"@context": {"label": {"@id": "http://ex.org/label",'
+        ' "@container": "@language"}},'
+        ' "@id": "http://ex.org/s",'
+        ' "label": {"en": "tree", "de": ["Baum", "Strauch"], "@none": "X"}}'
+    )
+    vals = {(q[4], q[6]) for q in rows}
+    assert vals == {("tree", "en"), ("Baum", "de"), ("Strauch", "de"), ("X", None)}
+
+
+def test_id_and_type_container_maps():
+    rows = parse_jsonld(
+        '{"@context": {"ex": "http://ex.org/",'
+        ' "post": {"@id": "http://ex.org/post", "@container": "@id"},'
+        ' "by": {"@id": "http://ex.org/by", "@container": ["@type", "@set"]}},'
+        ' "@id": "ex:s",'
+        ' "post": {"ex:p1": {"http://ex.org/title": "one"},'
+        '          "@none": {"http://ex.org/title": "anon"}},'
+        ' "by": {"ex:Person": {"@id": "ex:alice"}}}'
+    )
+    vals = {(q[0], q[1], q[2], q[3], q[4]) for q in rows}
+    assert ("NamedNode", E + "p1", E + "title", "Literal", "one") in vals
+    assert ("NamedNode", E + "s", E + "post", "NamedNode", E + "p1") in vals
+    # @none key → no injected @id: the node stays anonymous
+    anon = [q for q in rows if q[4] == "anon"]
+    assert len(anon) == 1 and anon[0][0] == "BlankNode"
+    assert ("NamedNode", E + "alice", RDF_NS + "type", "NamedNode", E + "Person") in vals
+    assert ("NamedNode", E + "s", E + "by", "NamedNode", E + "alice") in vals
+
+
+def test_nest_keyword_and_alias():
+    rows = parse_jsonld(
+        '{"@id": "http://ex.org/s",'
+        ' "@nest": {"http://ex.org/a": "va", "http://ex.org/b": {"@value": "vb"}}}'
+    )
+    assert {(q[1], q[2], q[4]) for q in rows} == {
+        (E + "s", E + "a", "va"),
+        (E + "s", E + "b", "vb"),
+    }
+    # nest-alias term (term whose @id is "@nest") + @included block
+    rows = parse_jsonld(
+        '{"@context": {"meta": "@nest", "ex": "http://ex.org/"},'
+        ' "@id": "ex:s", "meta": {"ex:c": "vc"},'
+        ' "@included": [{"@id": "ex:t", "ex:d": "vd"}]}'
+    )
+    assert {(q[1], q[2], q[4]) for q in rows} == {
+        (E + "s", E + "c", "vc"),
+        (E + "t", E + "d", "vd"),
+    }
+
+
+def test_version_protected_prefix_are_inert():
+    rows = parse_jsonld(
+        '{"@context": {"@version": 1.1, "@protected": true,'
+        ' "ex": {"@id": "http://ex.org/", "@prefix": true},'
+        ' "name": {"@id": "http://ex.org/name", "@protected": true}},'
+        ' "@id": "ex:s", "name": "n"}'
+    )
+    assert {(q[1], q[2], q[4]) for q in rows} == {(E + "s", E + "name", "n")}
 
 
 def test_read_rdf_dispatches_jsonld_e2e(spark, tmp_path):
