@@ -104,6 +104,9 @@ RDFXML_EXTENSIONS = (".rdf", ".owl", ".rdfxml")
 #: extensions the JSON-LD parser handles (sources/jsonld.py; rdf-parse maps
 #: .json to application/ld+json too)
 JSONLD_EXTENSIONS = (".jsonld", ".json")
+#: Notation3 — the Turtle-compatible subset (sources/turtle.py:parse_n3;
+#: N3 logic constructs fail fast)
+N3_EXTENSIONS = (".n3",)
 
 _SCHEME_PREFIX = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
 
@@ -165,6 +168,8 @@ def _sniff_format(path: str, spark: SparkSession | None = None) -> str:
             return "rdfxml"
         if n.endswith(JSONLD_EXTENSIONS):
             return "jsonld"
+        if n.endswith(N3_EXTENSIONS):
+            return "n3"
         if n.endswith(SUPPORTED_EXTENSIONS):
             return "nquads"
         return None
@@ -182,7 +187,8 @@ def _sniff_format(path: str, spark: SparkSession | None = None) -> str:
                 "extension-qualified path"
             )
         all_ext = (
-            TURTLE_EXTENSIONS + RDFXML_EXTENSIONS + JSONLD_EXTENSIONS + SUPPORTED_EXTENSIONS
+            TURTLE_EXTENSIONS + RDFXML_EXTENSIONS + JSONLD_EXTENSIONS
+            + N3_EXTENSIONS + SUPPORTED_EXTENSIONS
         )
         names = _expand_hadoop(spark, path, all_ext)  # raises on zero matches
         if names == [path]:
@@ -224,6 +230,10 @@ def read_rdf(spark: SparkSession, path: str, base_iri: str | None = None) -> Dat
         from rdf_dataset_fragmenter_js_spark.sources.jsonld import read_jsonld
 
         return read_jsonld(spark, path, base_iri=base_iri)
+    if fmt == "n3":
+        from rdf_dataset_fragmenter_js_spark.sources.turtle import read_n3
+
+        return read_n3(spark, path, base_iri=base_iri)
     return read_nquads(spark, path, base_iri=base_iri)
 
 

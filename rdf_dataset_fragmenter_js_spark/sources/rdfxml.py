@@ -13,9 +13,9 @@ scoped ``xml:base``, property attributes on node and property elements,
 ``rdf:parseType="Resource"``, ``rdf:parseType="Collection"``
 (rdf:first/rest/nil chains, same encoding as the Turtle parser's
 collections), ``rdf:ID`` reification on property elements (rdf:Statement
-+ subject/predicate/object quads, §7.3), and ``rdf:li`` container
-membership. ``parseType="Literal"`` fails fast with a targeted message
-rather than silently mis-parsing XML content.
++ subject/predicate/object quads, §7.3), ``rdf:li`` container
+membership, and ``rdf:parseType="Literal"`` (inner markup serialized
+verbatim as an ``rdf:XMLLiteral`` literal, §7.2.17).
 """
 
 from __future__ import annotations

@@ -481,6 +481,82 @@ def parse_turtle(text: str, base_iri: str | None = None) -> list[tuple]:
     return TurtleParser(text, base_iri=base_iri).parse()
 
 
+def _scan_n3_only_tokens(text: str) -> str | None:
+    """Return the first N3-ONLY construct in ``text`` (outside strings,
+    IRIs and comments), or None if the document stays inside the Turtle
+    subset. Formulas/rules/quantification have no RDF-quad projection, so
+    they must fail fast rather than mis-parse (``{`` would otherwise hit
+    the TriG graph-block path and silently build a named graph out of a
+    formula)."""
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "#":  # comment to end of line
+            j = text.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif c == "<":
+            if text.startswith("<=", i):
+                return "<= (implication)"
+            j = text.find(">", i)
+            i = n if j < 0 else j + 1
+        elif c in "\"'":
+            quote = text[i] * 3 if text.startswith(c * 3, i) else c
+            j = i + len(quote)
+            while j < n:
+                if text[j] == "\\":
+                    j += 2
+                    continue
+                if text.startswith(quote, j):
+                    j += len(quote)
+                    break
+                j += 1
+            i = j
+        elif c in "{}":
+            return c + " (formula)"
+        elif text.startswith("=>", i):
+            return "=> (implication)"
+        elif c == "=":
+            return "= (owl:sameAs shorthand)"
+        elif c == "@":
+            for kw in ("@forAll", "@forSome", "@keywords"):
+                if text.startswith(kw, i):
+                    return kw
+            i += 1
+        else:
+            i += 1
+    return None
+
+
+def parse_n3(text: str, base_iri: str | None = None) -> list[tuple]:
+    """Parse the Turtle-compatible subset of Notation3 (the slice of N3
+    that actually carries RDF statements — what rdf-parse's text/n3 path
+    yields quads for; QuadSourceFile.ts:19-25). N3-only logic constructs
+    (formulas, implications, quantifiers) have no quad projection and
+    fail fast with the offending token."""
+    bad = _scan_n3_only_tokens(text)
+    if bad is not None:
+        raise NotImplementedError(
+            f"N3 construct {bad} is outside the Turtle-compatible subset "
+            "this engine parses — N3 logic (formulas/rules) does not "
+            "project onto RDF quads"
+        )
+    return TurtleParser(text, base_iri=base_iri).parse()
+
+
+def read_n3(spark, path: str, base_iri: str | None = None):
+    """``QuadSourceFile`` for ``.n3`` — whole-file parsed like Turtle."""
+    from rdf_dataset_fragmenter_js_spark.sources.driverfile import read_driver_parsed
+
+    return read_driver_parsed(
+        spark,
+        path,
+        (".n3",),
+        base_iri,
+        lambda text, base: parse_n3(text, base_iri=base),
+        "read_n3",
+    )
+
+
 def read_turtle(spark, path: str, base_iri: str | None = None):
     """``QuadSourceFile`` for ``.ttl`` — whole-file parsed (Turtle is not
     line-splittable): one file on the driver, globs/directories in

@@ -170,12 +170,16 @@ def stream_pipeline_spec(
         )
         from rdf_dataset_fragmenter_js_spark.sources.jsonld import parse_jsonld
         from rdf_dataset_fragmenter_js_spark.sources.rdfxml import parse_rdfxml
-        from rdf_dataset_fragmenter_js_spark.sources.turtle import parse_turtle
+        from rdf_dataset_fragmenter_js_spark.sources.turtle import (
+            parse_n3,
+            parse_turtle,
+        )
 
         parse_fns = {
             "turtle": lambda text, base: parse_turtle(text, base_iri=base),
             "rdfxml": lambda text, base: parse_rdfxml(text, base_iri=base),
             "jsonld": lambda text, base: parse_jsonld(text, base_iri=base),
+            "n3": lambda text, base: parse_n3(text, base_iri=base),
         }
 
         def process(batch_files: DataFrame, batch_id: int) -> None:

@@ -75,12 +75,25 @@ def test_rdfxml_feature_coverage():
     assert ("NamedNode", "http://abs.org/seq", RDF_NS + "_2", "Literal", "two", None, None) in vals
 
 
+def test_rdfxml_parse_type_literal_xmlliteral():
+    quads = parse_rdfxml(
+        f'<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:ex="{E}">'
+        f'<rdf:Description rdf:about="{E}a">'
+        '<ex:p rdf:parseType="Literal">pre<b>x</b>post</ex:p>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    assert len(quads) == 1
+    q = quads[0]
+    assert q[3] == "Literal" and q[5] == RDF_NS + "XMLLiteral"
+    assert q[4] == "pre<b>x</b>post"
+
+
 def test_rdfxml_fail_fast():
     with pytest.raises(NotImplementedError, match="parseType"):
         parse_rdfxml(
             f'<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:ex="{E}">'
             f'<rdf:Description rdf:about="{E}a">'
-            '<ex:p rdf:parseType="Literal"><b>x</b></ex:p>'
+            '<ex:p rdf:parseType="Other">x</ex:p>'
             "</rdf:Description></rdf:RDF>"
         )
     with pytest.raises(ValueError, match="un-namespaced"):

@@ -256,3 +256,46 @@ def test_trig_dispatch_e2e(spark, tmp_path):
         ("http://ex.org/s", "http://ex.org/g"),
         ("http://ex.org/s2", None),
     }
+
+
+def test_n3_turtle_subset():
+    from rdf_dataset_fragmenter_js_spark.sources.turtle import parse_n3
+
+    quads = parse_n3(
+        "@prefix ex: <http://ex.org/> .\n"
+        "# a comment with {braces} and =>\n"
+        'ex:s a ex:T ; ex:name "curly {brace} and = inside" ; ex:next ( 1 2 ) .\n'
+    )
+    vals = {(q[1], q[2], q[4]) for q in quads}
+    assert ("http://ex.org/s", "http://ex.org/name", "curly {brace} and = inside") in vals
+    assert any(q[2].endswith("#first") for q in quads)
+
+
+def test_n3_logic_constructs_fail_fast():
+    import pytest as _pytest
+
+    from rdf_dataset_fragmenter_js_spark.sources.turtle import parse_n3
+
+    base = "@prefix ex: <http://ex.org/> .\n"
+    for doc, tok in [
+        (base + "{ ex:a ex:b ex:c } => { ex:d ex:e ex:f } .\n", "formula"),
+        (base + "ex:a ex:b ex:c . ex:x = ex:y .\n", "sameAs"),
+        (base + "@forAll ex:x .\n", "@forAll"),
+        (base + "@forSome ex:x .\n", "@forSome"),
+    ]:
+        with _pytest.raises(NotImplementedError, match=tok):
+            parse_n3(doc)
+
+
+def test_n3_dispatch_e2e(spark, tmp_path):
+    p = tmp_path / "d.n3"
+    p.write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:s ex:p ex:o .\n"
+        'ex:s2 ex:p "lit"@en .\n'
+    )
+    rows = {(r.s, r.o, r.o_lang) for r in read_rdf(spark, str(p)).collect()}
+    assert rows == {
+        ("http://ex.org/s", "http://ex.org/o", None),
+        ("http://ex.org/s2", "lit", "en"),
+    }
