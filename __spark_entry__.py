@@ -371,6 +371,48 @@ def q_source_trig_roundtrip(spark, sf_dir):
     )
 
 
+def q_source_rdfa_roundtrip(spark, sf_dir):
+    """RDFa source e2e: the order quads rendered as RDFa-annotated HTML
+    (meta/@content for literals, link/@resource for IRI objects) across 4
+    .html files, read back through read_rdf's extension dispatch
+    (sources/rdfa.py) — drives CURIE-free attribute processing, void
+    elements, and the distributed multi-file parse."""
+    import html as _html
+    import os
+    import tempfile
+
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import read_rdf
+
+    rows = TD.order_quads(spark, sf_dir).collect()
+    tmp = tempfile.mkdtemp(prefix="rdfa_rt_")
+    n_files = 4
+    for i in range(n_files):
+        parts = ["<html><body>"]
+        for r in rows[i::n_files]:
+            s = _html.escape(r.s, quote=True)
+            p = _html.escape(r.p, quote=True)
+            if r.o_type == "Literal":
+                o = _html.escape(r.o, quote=True)
+                dt = (
+                    f' datatype="{_html.escape(r.o_datatype, quote=True)}"'
+                    if r.o_datatype
+                    else ""
+                )
+                lg = f' lang="{r.o_lang}"' if r.o_lang else ""
+                parts.append(
+                    f'<meta about="{s}" property="{p}" content="{o}"{dt}{lg}>'
+                )
+            else:
+                o = _html.escape(r.o, quote=True)
+                parts.append(f'<link about="{s}" property="{p}" resource="{o}">')
+        parts.append("</body></html>")
+        with open(os.path.join(tmp, f"part{i}.html"), "w") as f:
+            f.write("\n".join(parts))
+    return read_rdf(spark, tmp).select(
+        "s_type", "s", "p", "o_type", "o", "o_datatype", "o_lang"
+    )
+
+
 def q_streaming_pipeline(spark, sf_dir):
     """Streaming runner e2e gate: the order quads written as an append-only
     N-Quads directory, drained with trigger=availableNow through
@@ -758,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_jsonld_roundtrip": q_source_jsonld_roundtrip,
         "source_turtle_multifile": q_source_turtle_multifile,
         "source_trig_roundtrip": q_source_trig_roundtrip,
+        "source_rdfa_roundtrip": q_source_rdfa_roundtrip,
         "streaming_pipeline": q_streaming_pipeline,
         "pipeline_spec": q_pipeline_spec,
         "pipeline_spec_summary": q_pipeline_spec_summary,
@@ -1475,6 +1518,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
         """,
         "source_turtle_multifile": f"""
+            WITH quads AS ({_ORDER_QUADS})
+            SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
+        """,
+        "source_rdfa_roundtrip": f"""
             WITH quads AS ({_ORDER_QUADS})
             SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
         """,

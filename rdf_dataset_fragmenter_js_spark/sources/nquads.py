@@ -107,6 +107,8 @@ JSONLD_EXTENSIONS = (".jsonld", ".json")
 #: Notation3 — the Turtle-compatible subset (sources/turtle.py:parse_n3;
 #: N3 logic constructs fail fast)
 N3_EXTENSIONS = (".n3",)
+#: RDFa-annotated (X)HTML (sources/rdfa.py — RDFa 1.1 Lite subset)
+RDFA_EXTENSIONS = (".html", ".xhtml", ".htm")
 
 _SCHEME_PREFIX = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
 
@@ -170,6 +172,8 @@ def _sniff_format(path: str, spark: SparkSession | None = None) -> str:
             return "jsonld"
         if n.endswith(N3_EXTENSIONS):
             return "n3"
+        if n.endswith(RDFA_EXTENSIONS):
+            return "rdfa"
         if n.endswith(SUPPORTED_EXTENSIONS):
             return "nquads"
         return None
@@ -188,7 +192,7 @@ def _sniff_format(path: str, spark: SparkSession | None = None) -> str:
             )
         all_ext = (
             TURTLE_EXTENSIONS + RDFXML_EXTENSIONS + JSONLD_EXTENSIONS
-            + N3_EXTENSIONS + SUPPORTED_EXTENSIONS
+            + N3_EXTENSIONS + RDFA_EXTENSIONS + SUPPORTED_EXTENSIONS
         )
         names = _expand_hadoop(spark, path, all_ext)  # raises on zero matches
         if names == [path]:
@@ -234,6 +238,10 @@ def read_rdf(spark: SparkSession, path: str, base_iri: str | None = None) -> Dat
         from rdf_dataset_fragmenter_js_spark.sources.turtle import read_n3
 
         return read_n3(spark, path, base_iri=base_iri)
+    if fmt == "rdfa":
+        from rdf_dataset_fragmenter_js_spark.sources.rdfa import read_rdfa
+
+        return read_rdfa(spark, path, base_iri=base_iri)
     return read_nquads(spark, path, base_iri=base_iri)
 
 

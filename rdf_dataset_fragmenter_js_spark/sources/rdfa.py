@@ -1,0 +1,327 @@
+"""RDFa source (``lib/io/QuadSourceFile.ts:19-25`` delegates ``.html`` /
+``.xhtml`` to rdf-parse, which routes them to rdfa-streaming-parser).
+Driver/executor per-file parsing like the other non-splittable sources,
+built on stdlib ``html.parser``.
+
+Coverage — RDFa 1.1 **Lite** plus the attributes real markup leans on:
+
+* ``vocab`` / ``prefix`` (space-separated ``pfx: iri`` pairs, scoped and
+  inherited) / the RDFa 1.1 initial-context prefixes;
+* ``about`` / ``resource`` (safe-CURIE ``[pfx:ref]``, CURIE, IRI, and
+  ``_:label`` blank nodes) and ``href`` / ``src`` resource objects;
+* ``typeof`` (rdf:type; a ``typeof`` without a subject mints a blank
+  node, as object of an enclosing ``property`` per RDFa Core §7.5/11);
+* ``property`` with ``content=``, with a resource object, or with the
+  element's text content as a plain literal (``lang`` inherited);
+* ``datatype=``, and HTML5 ``<time datetime=>`` with the spec's lexical
+  datatype inference (xsd:date/dateTime/time/gYear/gYearMonth/duration);
+* ``<base href>`` overriding the document base IRI.
+
+RDFa Core features OUTSIDE this subset fail fast with the offending
+attribute rather than silently mis-parse: ``rel`` / ``rev`` (chaining +
+incomplete triples), ``inlist``, and ``role``. Unknown *terms* (a bare
+``property="foo"`` with no in-scope ``vocab``) are dropped like the
+spec's term-expansion failure, not errors.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+#: RDFa 1.1 initial context (W3C-published default prefix declarations) —
+#: the widely-used subset; markup can always declare its own via @prefix.
+INITIAL_CONTEXT = {
+    "rdf": RDF_NS,
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": XSD,
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "dc": "http://purl.org/dc/terms/",
+    "dcterms": "http://purl.org/dc/terms/",
+    "dc11": "http://purl.org/dc/elements/1.1/",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "schema": "http://schema.org/",
+    "og": "http://ogp.me/ns#",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "vcard": "http://www.w3.org/2006/vcard/ns#",
+    "prov": "http://www.w3.org/ns/prov#",
+    "void": "http://rdfs.org/ns/void#",
+    "cc": "http://creativecommons.org/ns#",
+    "sioc": "http://rdfs.org/sioc/ns#",
+    "xhv": "http://www.w3.org/1999/xhtml/vocab#",
+}
+
+_UNSUPPORTED_ATTRS = ("rel", "rev", "inlist")
+_ABSOLUTE_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+_PREFIX_DECL = re.compile(r"([A-Za-z][\w.\-]*):\s+(\S+)")
+_NCNAME = re.compile(r"^[A-Za-z_][\w.\-]*$")
+
+#: HTML elements with no end tag (the parser pops them immediately)
+_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+#: HTML5 <time datetime=> lexical → xsd datatype (html-rdfa §3.1)
+_DATETIME_TYPES = (
+    (re.compile(r"^-?\d{4,}-\d{2}-\d{2}T"), XSD + "dateTime"),
+    (re.compile(r"^-?\d{4,}-\d{2}-\d{2}$"), XSD + "date"),
+    (re.compile(r"^\d{2}:\d{2}(:\d{2})?"), XSD + "time"),
+    (re.compile(r"^-?\d{4,}-\d{2}$"), XSD + "gYearMonth"),
+    (re.compile(r"^-?\d{4,}$"), XSD + "gYear"),
+    (re.compile(r"^-?P"), XSD + "duration"),
+)
+
+
+class _Scope:
+    __slots__ = ("tag", "subject", "prefixes", "vocab", "lang", "literal")
+
+    def __init__(self, tag, subject, prefixes, vocab, lang, literal=None):
+        self.tag = tag
+        self.subject = subject  # (type, value) parent subject for children
+        self.prefixes = prefixes
+        self.vocab = vocab
+        self.lang = lang
+        #: open text-content literal: (subject, [preds], datatype, lang, buf)
+        self.literal = literal
+
+
+class _RdfaParser(HTMLParser):
+    def __init__(self, base_iri: str | None):
+        super().__init__(convert_charrefs=True)
+        self.base = base_iri
+        self.quads: list[tuple] = []
+        self._bnode_n = 0
+        self._bnode_map: dict[str, str] = {}
+        # the document node: its IRI when a base is known, else a blank
+        # node (read_driver_parsed always passes the file URI as base)
+        self._doc = (
+            ("NamedNode", base_iri) if base_iri else ("BlankNode", "genid_rdfa_doc")
+        )
+        root = _Scope(None, self._doc, dict(INITIAL_CONTEXT), None, None)
+        self.stack: list[_Scope] = [root]
+
+    # -- term machinery ----------------------------------------------------
+
+    def _fresh_bnode(self):
+        self._bnode_n += 1
+        return ("BlankNode", f"genid_rdfa_{self._bnode_n}")
+
+    def _emit(self, s, p, o, dt=None, lang=None):
+        self.quads.append(
+            (s[0], s[1], p, o[0], o[1], dt, lang, None, len(self.quads))
+        )
+
+    def _resolve(self, iri: str) -> str:
+        if _ABSOLUTE_IRI.match(iri) or self.base is None:
+            return iri
+        from rdf_dataset_fragmenter_js_spark.functions.iri import resolve_iri
+
+        return resolve_iri(iri, self.base)
+
+    def _curie_or_iri(self, value: str, scope: _Scope):
+        """@about/@resource value → subject/object term (safe-CURIE, CURIE,
+        _:bnode, or IRI resolved against base)."""
+        value = value.strip()
+        if value.startswith("[") and value.endswith("]"):
+            value = value[1:-1].strip()
+        if value.startswith("_:"):
+            label = value[2:] or "anon"
+            return ("BlankNode", self._bnode_map.setdefault(label, f"b_{label}"))
+        if ":" in value:
+            prefix, suffix = value.split(":", 1)
+            if not suffix.startswith("//") and prefix in scope.prefixes:
+                return ("NamedNode", scope.prefixes[prefix] + suffix)
+        return ("NamedNode", self._resolve(value))
+
+    def _term_or_curie(self, value: str, scope: _Scope) -> str | None:
+        """@property/@typeof/@datatype item → IRI, or None when a bare term
+        has no in-scope vocab (dropped, per term-expansion failure)."""
+        if ":" in value:
+            prefix, suffix = value.split(":", 1)
+            if not suffix.startswith("//") and prefix in scope.prefixes:
+                return scope.prefixes[prefix] + suffix
+            if _ABSOLUTE_IRI.match(value):
+                return value
+        if _NCNAME.match(value):
+            return scope.vocab + value if scope.vocab else None
+        return None
+
+    def _terms(self, attr_value: str, scope: _Scope) -> list[str]:
+        out = []
+        for item in attr_value.split():
+            iri = self._term_or_curie(item, scope)
+            if iri is not None:
+                out.append(iri)
+        return out
+
+    # -- tree walk ---------------------------------------------------------
+
+    def handle_starttag(self, tag, attrs):
+        a = {}
+        for k, v in attrs:
+            if v is not None and k not in a:  # first wins, like browsers
+                a[k] = v
+        for bad in _UNSUPPORTED_ATTRS:
+            if bad in a:
+                raise NotImplementedError(
+                    f"RDFa attribute @{bad} (chaining/list semantics) is "
+                    "outside the RDFa Lite subset this engine parses"
+                )
+        parent = self.stack[-1]
+        prefixes, vocab, lang = parent.prefixes, parent.vocab, parent.lang
+        if "prefix" in a:
+            prefixes = dict(prefixes)
+            for pfx, iri in _PREFIX_DECL.findall(a["prefix"]):
+                prefixes[pfx] = iri
+        if "vocab" in a:
+            vocab = a["vocab"] or None
+        if "lang" in a or "xml:lang" in a:
+            lang = a.get("lang") or a.get("xml:lang") or None
+        if tag == "base" and a.get("href"):
+            # rebase the document node: scopes still pointing at it (head
+            # precedes content, so nothing has been emitted against it yet)
+            self.base = a["href"]
+            new_doc = ("NamedNode", self.base)
+            for sc in self.stack:
+                if sc.subject == self._doc:
+                    sc.subject = new_doc
+            self._doc = new_doc
+        scope = _Scope(tag, parent.subject, prefixes, vocab, lang)
+
+        explicit_res = next(
+            (
+                self._curie_or_iri(a[k], scope) if k in ("about", "resource") else ("NamedNode", self._resolve(a[k]))
+                for k in ("resource", "href", "src")
+                if k in a
+            ),
+            None,
+        )
+        about = self._curie_or_iri(a["about"], scope) if "about" in a else None
+        types = self._terms(a["typeof"], scope) if "typeof" in a else []
+        props = self._terms(a["property"], scope) if "property" in a else []
+        datatype = None
+        if "datatype" in a:
+            datatype = self._term_or_curie(a["datatype"], scope) if a["datatype"] else None
+
+        if not props:
+            subject = about or explicit_res or (self._fresh_bnode() if types else None)
+            if subject is not None:
+                for t in types:
+                    self._emit(subject, RDF_NS + "type", ("NamedNode", t))
+                scope.subject = subject
+        else:
+            subject = about or parent.subject
+            if types and about is None:
+                # typed resource as the OBJECT of the property (Lite's
+                # <div property="p" typeof="T"> pattern)
+                typed = explicit_res or self._fresh_bnode()
+                for p in props:
+                    self._emit(subject, p, typed)
+                for t in types:
+                    self._emit(typed, RDF_NS + "type", ("NamedNode", t))
+                scope.subject = typed
+            elif explicit_res is not None:
+                for p in props:
+                    self._emit(subject, p, explicit_res)
+                scope.subject = subject
+            else:
+                if types:  # typeof with about: type the subject itself
+                    for t in types:
+                        self._emit(subject, RDF_NS + "type", ("NamedNode", t))
+                content = a.get("content")
+                if content is None and tag == "time" and "datetime" in a:
+                    content = a["datetime"]
+                    if datatype is None and "datatype" not in a:
+                        datatype = next(
+                            (dt for rx, dt in _DATETIME_TYPES if rx.match(content)),
+                            None,
+                        )
+                if content is not None:
+                    self._emit(
+                        subject,
+                        props[0],
+                        ("Literal", content),
+                        datatype,
+                        None if datatype else lang,
+                    )
+                    for p in props[1:]:
+                        self._emit(
+                            subject, p, ("Literal", content),
+                            datatype, None if datatype else lang,
+                        )
+                else:
+                    # plain literal = element text content, collected until
+                    # the matching end tag (children still produce their own
+                    # triples; their text also feeds this buffer)
+                    scope.literal = (subject, props, datatype, lang, [])
+                scope.subject = subject
+
+        if tag in _VOID:
+            self._flush_literal(scope)
+            return  # not pushed: void elements have no children/end tag
+        self.stack.append(scope)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in _VOID:
+            self.handle_endtag(tag)
+
+    def handle_data(self, data):
+        for scope in self.stack:
+            if scope.literal is not None:
+                scope.literal[4].append(data)
+
+    def handle_endtag(self, tag):
+        # lenient recovery: pop to the nearest matching open tag (real-world
+        # HTML closes <p>/<li> implicitly); unmatched end tags are ignored
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                for scope in reversed(self.stack[i:]):
+                    self._flush_literal(scope)
+                del self.stack[i:]
+                return
+
+    def _flush_literal(self, scope: _Scope):
+        if scope.literal is None:
+            return
+        subject, props, datatype, lang, buf = scope.literal
+        text = "".join(buf)
+        for p in props:
+            self._emit(
+                subject, p, ("Literal", text), datatype, None if datatype else lang
+            )
+        scope.literal = None
+
+    def close(self):
+        super().close()
+        for scope in reversed(self.stack[1:]):
+            self._flush_literal(scope)
+
+
+def parse_rdfa(text: str, base_iri: str | None = None) -> list[tuple]:
+    """Parse RDFa-annotated (X)HTML → quad tuples in the engine schema
+    (s_type, s, p, o_type, o, o_datatype, o_lang, g, seq)."""
+    p = _RdfaParser(base_iri)
+    p.feed(text)
+    p.close()
+    return p.quads
+
+
+def read_rdfa(spark, path: str, base_iri: str | None = None):
+    """``QuadSourceFile`` for ``.html``/``.xhtml`` — per-file parsed
+    (driver for one file, distributed for globs/directories); ``base_iri``
+    defaults per file to its URI like rdf-parse's ``path`` option."""
+    from rdf_dataset_fragmenter_js_spark.sources.driverfile import read_driver_parsed
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import RDFA_EXTENSIONS
+
+    return read_driver_parsed(
+        spark,
+        path,
+        RDFA_EXTENSIONS,
+        base_iri,
+        lambda text, base: parse_rdfa(text, base_iri=base),
+        "read_rdfa",
+    )

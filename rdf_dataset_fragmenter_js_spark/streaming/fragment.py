@@ -175,11 +175,14 @@ def stream_pipeline_spec(
             parse_turtle,
         )
 
+        from rdf_dataset_fragmenter_js_spark.sources.rdfa import parse_rdfa
+
         parse_fns = {
             "turtle": lambda text, base: parse_turtle(text, base_iri=base),
             "rdfxml": lambda text, base: parse_rdfxml(text, base_iri=base),
             "jsonld": lambda text, base: parse_jsonld(text, base_iri=base),
             "n3": lambda text, base: parse_n3(text, base_iri=base),
+            "rdfa": lambda text, base: parse_rdfa(text, base_iri=base),
         }
 
         def process(batch_files: DataFrame, batch_id: int) -> None:

@@ -1,0 +1,118 @@
+"""RDFa source parity: the reference delegates .html/.xhtml to rdf-parse's
+RDFa path (lib/io/QuadSourceFile.ts:19-25); our parser covers the RDFa 1.1
+Lite subset over stdlib html.parser."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_dataset_fragmenter_js_spark.sources.nquads import read_rdf
+from rdf_dataset_fragmenter_js_spark.sources.rdfa import parse_rdfa
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+S = "http://schema.org/"
+B = "http://base.org/page"
+
+
+def _vals(rows):
+    return {(r[0], r[1], r[2], r[3], r[4], r[5], r[6]) for r in rows}
+
+
+def test_schema_org_lite_markup():
+    html = """
+    <html><body>
+      <div vocab="http://schema.org/" typeof="Person" about="#me">
+        <span property="name">Alice</span>
+        <a property="url" href="https://alice.example/">home</a>
+        <img property="image" src="/alice.png">
+        <span property="jobTitle" content="Engineer">works as an engineer</span>
+      </div>
+    </body></html>"""
+    vals = _vals(parse_rdfa(html, base_iri=B))
+    me = B + "#me"
+    assert ("NamedNode", me, RDF_NS + "type", "NamedNode", S + "Person", None, None) in vals
+    assert ("NamedNode", me, S + "name", "Literal", "Alice", None, None) in vals
+    assert ("NamedNode", me, S + "url", "NamedNode", "https://alice.example/", None, None) in vals
+    assert ("NamedNode", me, S + "image", "NamedNode", "http://base.org/alice.png", None, None) in vals
+    assert ("NamedNode", me, S + "jobTitle", "Literal", "Engineer", None, None) in vals
+
+
+def test_nested_typeof_as_object_and_bnode():
+    html = """
+    <div vocab="http://schema.org/" about="http://ex.org/book" typeof="Book">
+      <div property="author" typeof="Person">
+        <span property="name">Bob</span>
+      </div>
+    </div>"""
+    rows = parse_rdfa(html, base_iri=B)
+    author = [r for r in rows if r[2] == S + "author"]
+    assert len(author) == 1 and author[0][3] == "BlankNode"
+    bnode = author[0][4]
+    vals = _vals(rows)
+    assert ("BlankNode", bnode, RDF_NS + "type", "NamedNode", S + "Person", None, None) in vals
+    assert ("BlankNode", bnode, S + "name", "Literal", "Bob", None, None) in vals
+
+
+def test_prefix_curie_lang_datatype_time():
+    html = """
+    <html lang="en"><body prefix="ex: http://ex.org/ dbp: http://dbpedia.org/prop/">
+      <p about="[ex:s]" property="ex:label">Hello</p>
+      <p about="ex:s" property="dbp:count" datatype="xsd:integer" content="7">seven</p>
+      <p about="ex:s" property="ex:de" lang="de">Hallo</p>
+      <time about="ex:s" property="ex:born" datetime="1990-05-01">May Day 1990</time>
+      <time about="ex:s" property="ex:when" datetime="1990-05-01T10:00:00">then</time>
+    </body></html>"""
+    vals = _vals(parse_rdfa(html, base_iri=B))
+    E = "http://ex.org/"
+    assert ("NamedNode", E + "s", E + "label", "Literal", "Hello", None, "en") in vals
+    assert ("NamedNode", E + "s", "http://dbpedia.org/prop/count", "Literal", "7", XSD + "integer", None) in vals
+    assert ("NamedNode", E + "s", E + "de", "Literal", "Hallo", None, "de") in vals
+    assert ("NamedNode", E + "s", E + "born", "Literal", "1990-05-01", XSD + "date", None) in vals
+    assert ("NamedNode", E + "s", E + "when", "Literal", "1990-05-01T10:00:00", XSD + "dateTime", None) in vals
+
+
+def test_initial_context_meta_og_and_base():
+    html = """
+    <html><head>
+      <base href="http://moved.org/doc">
+      <meta property="og:title" content="The Title">
+    </head><body>
+      <span property="foaf:name" about="">N</span>
+    </body></html>"""
+    vals = _vals(parse_rdfa(html, base_iri=B))
+    doc = "http://moved.org/doc"
+    assert ("NamedNode", doc, "http://ogp.me/ns#title", "Literal", "The Title", None, None) in vals
+    assert ("NamedNode", doc, "http://xmlns.com/foaf/0.1/name", "Literal", "N", None, None) in vals
+
+
+def test_text_literal_includes_nested_text_and_recovers_unclosed_tags():
+    html = """
+    <div vocab="http://schema.org/" about="http://ex.org/r">
+      <p property="description">A <b>bold</b> claim
+      <li property="keywords">spark
+    </div>"""
+    rows = parse_rdfa(html, base_iri=B)
+    desc = next(r for r in rows if r[2] == S + "description")
+    assert "A bold claim" in " ".join(desc[4].split())
+    kw = next(r for r in rows if r[2] == S + "keywords")
+    assert kw[4].strip() == "spark"
+
+
+def test_bare_term_without_vocab_dropped_and_rel_fails_fast():
+    assert parse_rdfa('<span property="name">x</span>', base_iri=B) == []
+    with pytest.raises(NotImplementedError, match="@rel"):
+        parse_rdfa('<a rel="next" href="http://n.org/">n</a>', base_iri=B)
+
+
+def test_read_rdf_dispatches_html_e2e(spark, tmp_path):
+    doc = tmp_path / "page.html"
+    doc.write_text(
+        '<div vocab="http://schema.org/" about="http://ex.org/w" typeof="Thing">'
+        '<span property="name">W</span></div>'
+    )
+    rows = {(r.s, r.p, r.o) for r in read_rdf(spark, str(doc)).collect()}
+    assert rows == {
+        ("http://ex.org/w", RDF_NS + "type", S + "Thing"),
+        ("http://ex.org/w", S + "name", "W"),
+    }
