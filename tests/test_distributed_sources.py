@@ -414,3 +414,36 @@ def test_large_file_warning_fires_for_globs(tmp_path, caplog, monkeypatch, spark
         ).collect()
     warned = [r for r in caplog.records if "executor task" in r.getMessage()]
     assert len(warned) == 2
+
+
+def test_stream_rdfa_dir(spark, tmp_path):
+    """The streaming runner classifies .html children as RDFa and parses
+    arrivals per-file on executors (same binaryFile path as Turtle)."""
+    from rdf_dataset_fragmenter_js_spark.streaming.fragment import stream_pipeline_spec
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    (src / "a.html").write_text(
+        '<div vocab="http://schema.org/" about="http://ex.org/w1" typeof="Thing">'
+        '<span property="name">W1</span></div>'
+    )
+    (src / "b.html").write_text(
+        '<div vocab="http://schema.org/" about="http://ex.org/w2">'
+        '<span property="name">W2</span></div>'
+    )
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": str(src)},
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkFile",
+            "outputFormat": "parquet",
+            "iriToPath": {"^http://ex\\.org/": "frags/"},
+        },
+    }
+    q = stream_pipeline_spec(
+        spark, spec, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    names = {(r.s, r.o) for r in rows if r.p == "http://schema.org/name"}
+    assert names == {("http://ex.org/w1", "W1"), ("http://ex.org/w2", "W2")}
