@@ -377,37 +377,18 @@ def q_source_rdfa_roundtrip(spark, sf_dir):
     .html files, read back through read_rdf's extension dispatch
     (sources/rdfa.py) — drives CURIE-free attribute processing, void
     elements, and the distributed multi-file parse."""
-    import html as _html
     import os
     import tempfile
 
     from rdf_dataset_fragmenter_js_spark.sources.nquads import read_rdf
+    from rdf_dataset_fragmenter_js_spark.sources.rdfa import serialize_rdfa
 
-    rows = TD.order_quads(spark, sf_dir).collect()
+    rows = [tuple(r) for r in TD.order_quads(spark, sf_dir).collect()]
     tmp = tempfile.mkdtemp(prefix="rdfa_rt_")
     n_files = 4
     for i in range(n_files):
-        parts = ["<html><body>"]
-        for r in rows[i::n_files]:
-            s = _html.escape(r.s, quote=True)
-            p = _html.escape(r.p, quote=True)
-            if r.o_type == "Literal":
-                o = _html.escape(r.o, quote=True)
-                dt = (
-                    f' datatype="{_html.escape(r.o_datatype, quote=True)}"'
-                    if r.o_datatype
-                    else ""
-                )
-                lg = f' lang="{r.o_lang}"' if r.o_lang else ""
-                parts.append(
-                    f'<meta about="{s}" property="{p}" content="{o}"{dt}{lg}>'
-                )
-            else:
-                o = _html.escape(r.o, quote=True)
-                parts.append(f'<link about="{s}" property="{p}" resource="{o}">')
-        parts.append("</body></html>")
         with open(os.path.join(tmp, f"part{i}.html"), "w") as f:
-            f.write("\n".join(parts))
+            f.write(serialize_rdfa(rows[i::n_files]))
     return read_rdf(spark, tmp).select(
         "s_type", "s", "p", "o_type", "o", "o_datatype", "o_lang"
     )

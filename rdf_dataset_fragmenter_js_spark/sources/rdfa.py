@@ -310,6 +310,44 @@ def parse_rdfa(text: str, base_iri: str | None = None) -> list[tuple]:
     return p.quads
 
 
+def serialize_rdfa(rows: list[tuple]) -> str:
+    """Quad tuples → RDFa-annotated HTML (one ``meta``/``link`` element per
+    quad: ``meta/@content`` for literals, ``link/@resource`` for IRI and
+    blank-node objects). Round-trips through :func:`parse_rdfa` —
+    property-tested; used by the ``source_rdfa_roundtrip`` gate entry.
+    RDFa has no named-graph syntax, so quads with a graph are rejected."""
+    import html as _html
+
+    def esc(v: str) -> str:
+        return _html.escape(v, quote=True)
+
+    def ref(t_type: str, value: str) -> str:
+        return f"_:{value}" if t_type == "BlankNode" else value
+
+    parts = ["<html><body>"]
+    for r in rows:
+        s_type, s, p, o_type, o, dt, lang, g = r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7]
+        if g is not None:
+            raise ValueError(
+                f"RDFa cannot express named graphs (quad in graph {g!r}) — "
+                "serialize as TriG/N-Quads/JSON-LD instead"
+            )
+        about, prop = esc(ref(s_type, s)), esc(p)
+        if o_type == "Literal":
+            attrs = f' datatype="{esc(dt)}"' if dt else ""
+            if lang:
+                attrs += f' lang="{lang}"'
+            parts.append(
+                f'<meta about="{about}" property="{prop}" content="{esc(o)}"{attrs}>'
+            )
+        else:
+            parts.append(
+                f'<link about="{about}" property="{prop}" resource="{esc(ref(o_type, o))}">'
+            )
+    parts.append("</body></html>")
+    return "\n".join(parts)
+
+
 def read_rdfa(spark, path: str, base_iri: str | None = None):
     """``QuadSourceFile`` for ``.html``/``.xhtml`` — per-file parsed
     (driver for one file, distributed for globs/directories); ``base_iri``

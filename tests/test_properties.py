@@ -449,3 +449,50 @@ def test_jsonld_serializer_roundtrip(quads):
         )
 
     assert sorted(key(r, True) for r in rows) == sorted(key(r, False) for r in parsed)
+
+
+@given(
+    quads=st.lists(
+        st.tuples(
+            st.sampled_from(["NamedNode", "BlankNode"]),             # s_type
+            st.integers(0, 5),                                       # s key
+            st.integers(0, 3),                                       # p key
+            st.sampled_from(["NamedNode", "BlankNode", "Literal"]),  # o_type
+            st.text(max_size=12),                                    # literal text
+            st.sampled_from([None, "http://dt.org/t"]),              # datatype
+            st.sampled_from([None, "en"]),                           # lang
+        ),
+        max_size=25,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_rdfa_serializer_roundtrip(quads):
+    """serialize_rdfa → parse_rdfa preserves the quad value multiset
+    (modulo the parser's 'b_' bnode relabeling, a bijective rename).
+    RDFa carries no named graphs, so the strategy generates none."""
+    from rdf_dataset_fragmenter_js_spark.sources.rdfa import (
+        parse_rdfa,
+        serialize_rdfa,
+    )
+
+    rows = []
+    for i, (s_t, s_k, p_k, o_t, lit, dt, lang) in enumerate(quads):
+        s = f"n{s_k}" if s_t == "BlankNode" else f"http://ex.org/s{s_k}"
+        p = f"http://ex.org/p{p_k}"
+        if o_t == "Literal":
+            o, o_dt, o_lang = lit, (None if lang else dt), lang
+        elif o_t == "BlankNode":
+            o, o_dt, o_lang = f"m{s_k}", None, None
+        else:
+            o, o_dt, o_lang = f"http://ex.org/o{s_k}", None, None
+        rows.append((s_t, s, p, o_t, o, o_dt, o_lang, None, i))
+
+    parsed = parse_rdfa(serialize_rdfa(rows), base_iri="http://base.org/doc")
+
+    def key(r, rename_bnodes):
+        def v(t, val):
+            return f"b_{val}" if (rename_bnodes and t == "BlankNode") else val
+
+        return (r[0], v(r[0], r[1]), r[2], r[3], v(r[3], r[4]), r[5] or "", r[6] or "")
+
+    assert sorted(key(r, True) for r in rows) == sorted(key(r, False) for r in parsed)
