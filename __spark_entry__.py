@@ -371,6 +371,33 @@ def q_source_trig_roundtrip(spark, sf_dir):
     )
 
 
+def q_source_n3_roundtrip(spark, sf_dir):
+    """N3 source e2e: the order quads as N-Triples lines (valid N3) split
+    across 4 .n3 files, read back through read_rdf's extension dispatch
+    (sources/turtle.py:parse_n3) — drives the N3-only-construct pre-scan
+    plus the shared Turtle grammar on the distributed multi-file path."""
+    import os
+    import tempfile
+
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import (
+        read_rdf,
+        serialize_nquads,
+    )
+
+    lines = [
+        r.line
+        for r in serialize_nquads(TD.order_quads(spark, sf_dir)).select("line").collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="n3_rt_")
+    n_files = 4
+    for i in range(n_files):
+        with open(os.path.join(tmp, f"part{i}.n3"), "w") as f:
+            f.write("\n".join(lines[i::n_files]) + "\n")
+    return read_rdf(spark, tmp).select(
+        "s_type", "s", "p", "o_type", "o", "o_datatype", "o_lang"
+    )
+
+
 def q_source_rdfa_roundtrip(spark, sf_dir):
     """RDFa source e2e: the order quads rendered as RDFa-annotated HTML
     (meta/@content for literals, link/@resource for IRI objects) across 4
@@ -782,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_turtle_multifile": q_source_turtle_multifile,
         "source_trig_roundtrip": q_source_trig_roundtrip,
         "source_rdfa_roundtrip": q_source_rdfa_roundtrip,
+        "source_n3_roundtrip": q_source_n3_roundtrip,
         "streaming_pipeline": q_streaming_pipeline,
         "pipeline_spec": q_pipeline_spec,
         "pipeline_spec_summary": q_pipeline_spec_summary,
@@ -1503,6 +1531,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
         """,
         "source_rdfa_roundtrip": f"""
+            WITH quads AS ({_ORDER_QUADS})
+            SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
+        """,
+        "source_n3_roundtrip": f"""
             WITH quads AS ({_ORDER_QUADS})
             SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
         """,

@@ -447,3 +447,44 @@ def test_stream_rdfa_dir(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "out")).collect()
     names = {(r.s, r.o) for r in rows if r.p == "http://schema.org/name"}
     assert names == {("http://ex.org/w1", "W1"), ("http://ex.org/w2", "W2")}
+
+
+def test_stream_composite_mixed_kinds(spark, tmp_path):
+    """A QuadSourceComposite mixing an N-Quads child and a Turtle child
+    streams through the binaryFile arrival path: the .nq child's files
+    are read per-batch with the vectorized line parser, the .ttl child's
+    with the executor per-file parse — one checkpointed stream."""
+    from rdf_dataset_fragmenter_js_spark.streaming.fragment import stream_pipeline_spec
+
+    nq_dir, ttl_dir = tmp_path / "nq", tmp_path / "ttl"
+    nq_dir.mkdir(), ttl_dir.mkdir()
+    (nq_dir / "a.nq").write_text(
+        "<http://ex.org/s1> <http://ex.org/p> <http://ex.org/o1> .\n"
+    )
+    (ttl_dir / "b.ttl").write_text(
+        "@prefix ex: <http://ex.org/> .\nex:s2 ex:p ex:o2 .\n"
+    )
+    spec = {
+        "quadSource": {
+            "@type": "QuadSourceComposite",
+            "sources": [
+                {"@type": "QuadSourceFile", "filePath": str(nq_dir)},
+                {"@type": "QuadSourceFile", "filePath": str(ttl_dir)},
+            ],
+        },
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkFile",
+            "outputFormat": "parquet",
+            "iriToPath": {"^http://ex\\.org/": "frags/"},
+        },
+    }
+    q = stream_pipeline_spec(
+        spark, spec, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    rows = {(r.s, r.o) for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert rows == {
+        ("http://ex.org/s1", "http://ex.org/o1"),
+        ("http://ex.org/s2", "http://ex.org/o2"),
+    }
