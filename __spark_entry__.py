@@ -421,6 +421,31 @@ def q_source_rdfa_roundtrip(spark, sf_dir):
     )
 
 
+def q_source_microdata_roundtrip(spark, sf_dir):
+    """Microdata source e2e: the order quads rendered as itemscope/itemid
+    markup across 4 .html files, read back through read_microdata (the
+    explicit non-default HTML route; .html auto-dispatches to RDFa) —
+    drives itemtype typing, meta/link value kinds, and the distributed
+    multi-file parse."""
+    import os
+    import tempfile
+
+    from rdf_dataset_fragmenter_js_spark.sources.microdata import (
+        read_microdata,
+        serialize_microdata,
+    )
+
+    rows = [tuple(r) for r in TD.order_quads(spark, sf_dir).collect()]
+    tmp = tempfile.mkdtemp(prefix="md_rt_")
+    n_files = 4
+    for i in range(n_files):
+        with open(os.path.join(tmp, f"part{i}.html"), "w") as f:
+            f.write(serialize_microdata(rows[i::n_files]))
+    return read_microdata(spark, tmp).select(
+        "s_type", "s", "p", "o_type", "o", "o_datatype", "o_lang"
+    )
+
+
 def q_streaming_pipeline(spark, sf_dir):
     """Streaming runner e2e gate: the order quads written as an append-only
     N-Quads directory, drained with trigger=availableNow through
@@ -810,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_trig_roundtrip": q_source_trig_roundtrip,
         "source_rdfa_roundtrip": q_source_rdfa_roundtrip,
         "source_n3_roundtrip": q_source_n3_roundtrip,
+        "source_microdata_roundtrip": q_source_microdata_roundtrip,
         "streaming_pipeline": q_streaming_pipeline,
         "pipeline_spec": q_pipeline_spec,
         "pipeline_spec_summary": q_pipeline_spec_summary,
@@ -1535,6 +1561,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
         """,
         "source_n3_roundtrip": f"""
+            WITH quads AS ({_ORDER_QUADS})
+            SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
+        """,
+        "source_microdata_roundtrip": f"""
             WITH quads AS ({_ORDER_QUADS})
             SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
         """,

@@ -210,7 +210,17 @@ def build_source(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
     t = spec["@type"]
     if t == "QuadSourceFile":
         # extension-dispatched (.nt/.nq vectorized, .ttl driver-parsed) with
-        # the optional baseIRI resolve (QuadSourceFile.ts:12,19-25,35-37)
+        # the optional baseIRI resolve (QuadSourceFile.ts:12,19-25,35-37).
+        # "format": "microdata" overrides the dispatch for .html (which
+        # otherwise routes to the RDFa parser, rdf-parse's primary route).
+        if spec.get("format") == "microdata":
+            from rdf_dataset_fragmenter_js_spark.sources.microdata import (
+                read_microdata,
+            )
+
+            return read_microdata(
+                spark, spec["filePath"], base_iri=spec.get("baseIRI")
+            )
         return read_rdf(spark, spec["filePath"], base_iri=spec.get("baseIRI"))
     if t == "QuadSourceComposite":
         return composite_source([build_source(spark, s) for s in spec["sources"]])
