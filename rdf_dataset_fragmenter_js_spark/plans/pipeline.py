@@ -510,7 +510,11 @@ def _is_nquads_chain(sink: dict[str, Any]) -> bool:
     t = sink["@type"]
     if t == "QuadSinkFiltered":
         return _is_nquads_chain(sink["sink"])
-    return t == "QuadSinkFile" and sink.get("outputFormat") != "parquet"
+    return t == "QuadSinkFile" and sink.get("outputFormat") in (
+        None,
+        "application/n-quads",
+        "nquads",
+    )
 
 
 def _nquads_chain_frame(sink: dict[str, Any], routed: DataFrame) -> DataFrame:
@@ -554,9 +558,17 @@ def run_sink(spark: SparkSession, routed: DataFrame, sink: dict[str, Any], outpu
             # scale path: per-fragment parquet partitions + manifest-friendly
             write_fragments(with_path, output_dir)
         else:
-            # reference-parity path: one N-Quads file per mapped path
-            # (QuadSinkFile's on-disk layout, lib/io/QuadSinkFile.ts:67-78)
-            write_fragment_nquads(with_path, output_dir).collect()
+            # reference-parity path: one serialized RDF file per mapped path
+            # (QuadSinkFile's on-disk layout, lib/io/QuadSinkFile.ts:67-78;
+            # outputFormat is the rdf-serialize content type, default
+            # application/n-quads)
+            from rdf_dataset_fragmenter_js_spark.sinks.paths import (
+                write_fragment_files,
+            )
+
+            write_fragment_files(
+                with_path, output_dir, sink.get("outputFormat")
+            ).collect()
     elif t == "QuadSinkCsv":
         sink_csv(routed, sink["columns"], sink["filePath"])
     elif t == "QuadSinkFiltered":

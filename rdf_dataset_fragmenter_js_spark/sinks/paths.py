@@ -114,11 +114,57 @@ def write_fragments(
     writer.partitionBy("path").parquet(output_dir)
 
 
-def write_fragment_nquads(routed_with_path: DataFrame, output_dir: str) -> DataFrame:
-    """Fixture-exact file layout: ONE N-Quads file per mapped ``path`` —
-    the reference's actual on-disk output (``QuadSinkFile`` appends
-    serialized quads to the file at each doc's mapped path,
-    ``lib/io/QuadSinkFile.ts:67-78`` + ``ParallelFileWriter``).
+#: rdf-serialize content types the per-fragment text writer accepts
+#: (``ParallelFileWriter.ts:64`` passes ``outputFormat`` straight to
+#: rdf-serialize). N-Triples lines ARE valid Turtle, so ``text/turtle``
+#: shares the line serializer; TriG and JSON-LD assemble per fragment.
+_TEXT_FORMATS = {
+    None: "nquads",
+    "application/n-quads": "nquads",
+    "nquads": "nquads",
+    "application/n-triples": "ntriples",
+    "ntriples": "ntriples",
+    "text/turtle": "ntriples",
+    "turtle": "ntriples",
+    "application/trig": "trig",
+    "trig": "trig",
+    "application/ld+json": "jsonld",
+    "jsonld": "jsonld",
+}
+
+
+def _check_local_master(df: DataFrame, what: str) -> None:
+    # Executor tasks write via plain open(): correct only when executors
+    # share the driver filesystem (local[k]). On a real cluster the files
+    # would scatter across executor-local disks — fail fast there and point
+    # at the parquet scale path (write_fragments).
+    master = df.sparkSession.conf.get("spark.master", "")
+    if master and not master.startswith("local"):
+        raise NotImplementedError(
+            f"{what} writes one file per fragment from executor tasks via "
+            f"the local filesystem; master={master!r} is not local, so "
+            "outputs would land on executor-local disks. Use "
+            "write_fragments (partitioned parquet via the cluster "
+            "filesystem) for non-local deployments, or run the text "
+            "layout on a shared/NFS filesystem only."
+        )
+
+
+def write_fragment_files(
+    routed_with_path: DataFrame, output_dir: str, output_format: str | None = None
+) -> DataFrame:
+    """Fixture-exact file layout: ONE serialized RDF file per mapped
+    ``path`` — the reference's actual on-disk output (``QuadSinkFile``
+    appends serialized quads to the file at each doc's mapped path,
+    ``lib/io/QuadSinkFile.ts:67-78`` + ``ParallelFileWriter``, which
+    hands ``outputFormat`` to rdf-serialize).
+
+    ``output_format`` accepts the rdf-serialize content types (or short
+    names): ``application/n-quads`` (default), ``application/n-triples`` /
+    ``text/turtle`` (triple formats — quads in a named graph fail fast,
+    like rdf-serialize's graph-less serializers), ``application/trig``
+    (``GRAPH <g> { … }`` blocks), ``application/ld+json`` (expanded form
+    via :func:`~rdf_dataset_fragmenter_js_spark.sources.jsonld.serialize_jsonld`).
 
     Spark cannot name output files arbitrarily through the native writer, so
     each (path) group is written by its own task via ``applyInPandas`` —
@@ -135,34 +181,98 @@ def write_fragment_nquads(routed_with_path: DataFrame, output_dir: str) -> DataF
 
     from rdf_dataset_fragmenter_js_spark.sources.nquads import serialize_nquads
 
-    # Executor tasks write via plain open(): correct only when executors
-    # share the driver filesystem (local[k]). On a real cluster the files
-    # would scatter across executor-local disks — fail fast there and point
-    # at the parquet scale path (write_fragments).
-    master = routed_with_path.sparkSession.conf.get("spark.master", "")
-    if master and not master.startswith("local"):
-        raise NotImplementedError(
-            f"write_fragment_nquads writes one file per fragment from "
-            f"executor tasks via the local filesystem; master={master!r} is "
-            "not local, so outputs would land on executor-local disks. Use "
-            "write_fragments (partitioned parquet via the cluster "
-            "filesystem) for non-local deployments, or run the N-Quads "
-            "layout on a shared/NFS filesystem only."
+    if output_format not in _TEXT_FORMATS:
+        raise ValueError(
+            f"unsupported outputFormat {output_format!r} — supported: "
+            f"{sorted(k for k in _TEXT_FORMATS if k)} or 'parquet'"
         )
+    fmt = _TEXT_FORMATS[output_format]
+    _check_local_master(routed_with_path, "write_fragment_files")
 
-    lines = serialize_nquads(routed_with_path).select("path", "line")
-
-    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        rel = pdf["path"].iloc[0]
+    def _write_text(rel: str, text: str) -> None:
         target = _os.path.join(output_dir, rel)
         _os.makedirs(_os.path.dirname(target), exist_ok=True)
         with open(target, "w") as f:
-            f.write("\n".join(pdf["line"]) + "\n")
-        return pd.DataFrame({"path": [rel], "n_quads": [len(pdf)]})
+            f.write(text)
 
-    return lines.groupBy("path").applyInPandas(
-        write_group, schema="path string, n_quads long"
+    if fmt in ("nquads", "ntriples"):
+        src = routed_with_path
+        if fmt == "ntriples":
+            # triple-only serializations cannot carry named graphs — in-plan
+            # fail-fast, like rdf-serialize's graph-less writers
+            src = src.withColumn(
+                "g",
+                F.when(
+                    F.col("g").isNotNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "outputFormat text/turtle|n-triples cannot "
+                                "express the named graph "
+                            ),
+                            F.col("g"),
+                        )
+                    ),
+                ).otherwise(F.col("g")),
+            )
+        lines = serialize_nquads(src).select("path", "line")
+
+        def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            _write_text(pdf["path"].iloc[0], "\n".join(pdf["line"]) + "\n")
+            return pd.DataFrame({"path": [pdf["path"].iloc[0]], "n_quads": [len(pdf)]})
+
+        return lines.groupBy("path").applyInPandas(
+            write_group, schema="path string, n_quads long"
+        )
+
+    if fmt == "trig":
+        # serialize the TRIPLE part of each quad (graph nulled), keep the
+        # graph for block assembly in the group task
+        src = routed_with_path.withColumn("__g", F.col("g")).withColumn(
+            "g", F.lit(None).cast("string")
+        )
+        lines = serialize_nquads(src).select(
+            "path", F.col("__g").alias("g"), "line"
+        )
+
+        def write_trig(pdf: pd.DataFrame) -> pd.DataFrame:
+            parts = list(pdf[pdf["g"].isna()]["line"])
+            for g, grp in pdf[pdf["g"].notna()].groupby("g", sort=True):
+                parts.append("GRAPH <" + str(g) + "> {")
+                parts.extend(grp["line"])
+                parts.append("}")
+            _write_text(pdf["path"].iloc[0], "\n".join(parts) + "\n")
+            return pd.DataFrame({"path": [pdf["path"].iloc[0]], "n_quads": [len(pdf)]})
+
+        return lines.groupBy("path").applyInPandas(
+            write_trig, schema="path string, n_quads long"
+        )
+
+    # jsonld: per-fragment expanded-form document from the full term tuples
+    cols = ["path", "s_type", "s", "p", "o_type", "o", "o_datatype", "o_lang", "g"]
+
+    def write_jsonld(pdf: pd.DataFrame) -> pd.DataFrame:
+        from rdf_dataset_fragmenter_js_spark.sources.jsonld import serialize_jsonld
+
+        rows = [
+            (r.s_type, r.s, r.p, r.o_type, r.o, r.o_datatype, r.o_lang,
+             None if pd.isna(r.g) else r.g)
+            for r in pdf.itertuples()
+        ]
+        _write_text(pdf["path"].iloc[0], serialize_jsonld(rows))
+        return pd.DataFrame({"path": [pdf["path"].iloc[0]], "n_quads": [len(pdf)]})
+
+    return (
+        routed_with_path.select(*cols)
+        .groupBy("path")
+        .applyInPandas(write_jsonld, schema="path string, n_quads long")
     )
+
+
+def write_fragment_nquads(routed_with_path: DataFrame, output_dir: str) -> DataFrame:
+    """The default reference layout: one N-Quads file per mapped path
+    (see :func:`write_fragment_files`)."""
+    return write_fragment_files(routed_with_path, output_dir, "application/n-quads")
 
 
 def append_fragment_nquads(routed_with_path: DataFrame, output_dir: str) -> DataFrame:

@@ -230,3 +230,99 @@ def test_write_fragment_nquads_roundtrip(spark, tmp_path):
     ]
     b_back = read_nquads(spark, f"{out}/b.nq").collect()
     assert len(b_back) == 1 and b_back[0].o == 'va"l"\n2'
+
+
+def test_write_fragment_files_formats_roundtrip(spark, tmp_path):
+    """Round-4: the per-fragment writer accepts the rdf-serialize content
+    types (ParallelFileWriter.ts:64). Each format's files read back through
+    read_rdf with the same quad multisets; triple-only formats fail fast
+    on named graphs."""
+    import pytest as _pytest
+
+    from rdf_dataset_fragmenter_js_spark.sinks.paths import write_fragment_files
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import read_rdf
+    from rdf_dataset_fragmenter_js_spark.strategies import route_subject
+
+    base = [
+        quad("http://ex.org/a", "http://ex.org/p", "http://ex.org/x"),
+        quad("http://ex.org/a", "http://ex.org/p", "v1", o_type="Literal"),
+        quad("http://ex.org/b", "http://ex.org/p", "v2", o_type="Literal"),
+    ]
+    graphed = base + [
+        quad("http://ex.org/a", "http://ex.org/q", "gv", o_type="Literal", g="http://g.org/1"),
+    ]
+
+    def routed(rows, ext):
+        return map_doc_to_path(
+            route_subject(quads_df(spark, rows)),
+            {r"^http://ex\.org/": ""},
+            file_extension=ext,
+        )
+
+    # text/turtle (N-Triples lines are valid Turtle; read back via .ttl)
+    out = str(tmp_path / "ttl")
+    written = {
+        r.path: r.n_quads
+        for r in write_fragment_files(routed(base, ".ttl"), out, "text/turtle").collect()
+    }
+    assert written == {"a.ttl": 2, "b.ttl": 1}
+    back = read_rdf(spark, f"{out}/a.ttl").select("s", "o").collect()
+    assert sorted((r.s, r.o) for r in back) == [
+        ("http://ex.org/a", "http://ex.org/x"),
+        ("http://ex.org/a", "v1"),
+    ]
+    # ... but named graphs cannot be expressed
+    with _pytest.raises(Exception, match="named graph"):
+        write_fragment_files(
+            routed(graphed, ".ttl"), str(tmp_path / "ttl_bad"), "text/turtle"
+        ).collect()
+
+    # application/trig: graph blocks survive the roundtrip
+    out = str(tmp_path / "trig")
+    write_fragment_files(routed(graphed, ".trig"), out, "application/trig").collect()
+    back = read_rdf(spark, f"{out}/a.trig").select("s", "o", "g").collect()
+    assert sorted((r.s, r.o, r.g) for r in back) == [
+        ("http://ex.org/a", "gv", "http://g.org/1"),
+        ("http://ex.org/a", "http://ex.org/x", None),
+        ("http://ex.org/a", "v1", None),
+    ]
+
+    # application/ld+json: expanded-form documents per fragment
+    out = str(tmp_path / "jsonld")
+    write_fragment_files(routed(graphed, ".jsonld"), out, "application/ld+json").collect()
+    back = read_rdf(spark, f"{out}/a.jsonld").select("s", "o", "g").collect()
+    assert sorted((r.s, r.o, r.g) for r in back) == [
+        ("http://ex.org/a", "gv", "http://g.org/1"),
+        ("http://ex.org/a", "http://ex.org/x", None),
+        ("http://ex.org/a", "v1", None),
+    ]
+
+    # unknown formats fail fast
+    with _pytest.raises(ValueError, match="unsupported outputFormat"):
+        write_fragment_files(routed(base, ".nq"), str(tmp_path / "x"), "text/html")
+
+
+def test_pipeline_spec_turtle_output(spark, tmp_path):
+    """outputFormat text/turtle flows through the config compiler."""
+    from rdf_dataset_fragmenter_js_spark.plans.pipeline import run_pipeline_spec
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import read_rdf
+
+    src = tmp_path / "in.nt"
+    src.write_text(
+        "<http://ex.org/a> <http://ex.org/p> <http://ex.org/x> .\n"
+        '<http://ex.org/b> <http://ex.org/p> "v" .\n'
+    )
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": str(src)},
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkFile",
+            "outputFormat": "text/turtle",
+            "iriToPath": {"^http://ex\\.org/": ""},
+            "fileExtension": ".ttl",
+        },
+    }
+    out = str(tmp_path / "out")
+    run_pipeline_spec(spark, spec, out)
+    back = read_rdf(spark, f"{out}/b.ttl").collect()
+    assert len(back) == 1 and back[0].o == "v"
