@@ -133,6 +133,26 @@ _TEXT_FORMATS = {
 }
 
 
+def forbid_named_graphs(df: DataFrame) -> DataFrame:
+    """Triple-only serializations (Turtle, N-Triples) cannot carry named
+    graphs — in-plan fail-fast, like rdf-serialize's graph-less writers."""
+    return df.withColumn(
+        "g",
+        F.when(
+            F.col("g").isNotNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "outputFormat text/turtle|n-triples cannot "
+                        "express the named graph "
+                    ),
+                    F.col("g"),
+                )
+            ),
+        ).otherwise(F.col("g")),
+    )
+
+
 def _check_local_master(df: DataFrame, what: str) -> None:
     # Executor tasks write via plain open(): correct only when executors
     # share the driver filesystem (local[k]). On a real cluster the files
@@ -198,23 +218,7 @@ def write_fragment_files(
     if fmt in ("nquads", "ntriples"):
         src = routed_with_path
         if fmt == "ntriples":
-            # triple-only serializations cannot carry named graphs — in-plan
-            # fail-fast, like rdf-serialize's graph-less writers
-            src = src.withColumn(
-                "g",
-                F.when(
-                    F.col("g").isNotNull(),
-                    F.raise_error(
-                        F.concat(
-                            F.lit(
-                                "outputFormat text/turtle|n-triples cannot "
-                                "express the named graph "
-                            ),
-                            F.col("g"),
-                        )
-                    ),
-                ).otherwise(F.col("g")),
-            )
+            src = forbid_named_graphs(src)
         lines = serialize_nquads(src).select("path", "line")
 
         def write_group(pdf: pd.DataFrame) -> pd.DataFrame:

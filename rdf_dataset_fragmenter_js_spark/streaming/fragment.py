@@ -111,7 +111,24 @@ def stream_pipeline_spec(
             "(parquet or per-fragment N-Quads); compose other sinks over "
             "the written table"
         )
-    parquet_sink = sink.get("outputFormat") == "parquet"
+    out_fmt = sink.get("outputFormat")
+    parquet_sink = out_fmt == "parquet"
+    #: line-appendable text formats; TriG blocks / JSON-LD documents are
+    #: whole-file structures that cannot grow by appending lines
+    _LINE_FORMATS = (
+        None, "application/n-quads", "nquads",
+        "application/n-triples", "ntriples", "text/turtle", "turtle",
+    )
+    triples_only = out_fmt in (
+        "application/n-triples", "ntriples", "text/turtle", "turtle",
+    )
+    if not parquet_sink and out_fmt not in _LINE_FORMATS:
+        raise NotImplementedError(
+            f"stream_pipeline_spec cannot APPEND outputFormat {out_fmt!r}: "
+            "TriG graph blocks and JSON-LD documents are not "
+            "line-appendable — use the N-Quads layout, a line format "
+            "(text/turtle, application/n-triples), or parquet"
+        )
     # Build once; the per-batch closure re-applies the same lazy combinators
     # to each micro-batch frame (they are pure DataFrame -> DataFrame).
     transformer_specs = spec.get("transformers", [])
@@ -130,8 +147,11 @@ def stream_pipeline_spec(
         else:
             from rdf_dataset_fragmenter_js_spark.sinks.paths import (
                 append_fragment_nquads,
+                forbid_named_graphs,
             )
 
+            if triples_only:
+                with_path = forbid_named_graphs(with_path)
             append_fragment_nquads(with_path, output_dir).collect()
 
     all_nquads = all(k == "nquads" for k in kinds)

@@ -5,6 +5,8 @@ foreachBatch micro-batches)."""
 
 from __future__ import annotations
 
+import pytest
+
 
 def _await(q):
     q.awaitTermination(120)
@@ -164,3 +166,38 @@ def test_sessionize_stateful_apply_in_pandas_with_state(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     closed = [(r.user_id, r.session_end - r.session_start, r.n_events) for r in rows]
     assert closed == [(1, 600.0, 2)]  # 10-minute session, 2 events
+
+
+def test_stream_turtle_output_appends_and_trig_rejected(spark, tmp_path):
+    """Round-4: line formats (text/turtle) append legally per micro-batch;
+    whole-file formats (TriG/JSON-LD) fail fast."""
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import read_rdf
+    from rdf_dataset_fragmenter_js_spark.streaming.fragment import (
+        stream_pipeline_spec,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.nt").write_text("<http://ex.org/a> <http://ex.org/p> <http://ex.org/x> .\n")
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": str(src)},
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkFile",
+            "outputFormat": "text/turtle",
+            "iriToPath": {"^http://ex\\.org/": ""},
+            "fileExtension": ".ttl",
+        },
+    }
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_pipeline_spec(spark, spec, out, ckpt)
+    q.awaitTermination(120)
+    (src / "b.nt").write_text("<http://ex.org/a> <http://ex.org/p> \"v2\" .\n")
+    q = stream_pipeline_spec(spark, spec, out, ckpt)
+    q.awaitTermination(120)
+    back = read_rdf(spark, f"{out}/a.ttl").select("o").collect()
+    assert sorted(r.o for r in back) == ["http://ex.org/x", "v2"]
+
+    bad = dict(spec, quadSink=dict(spec["quadSink"], outputFormat="application/trig"))
+    with pytest.raises(NotImplementedError, match="line-appendable"):
+        stream_pipeline_spec(spark, bad, str(tmp_path / "o2"), str(tmp_path / "c2"))
