@@ -496,3 +496,61 @@ def test_rdfa_serializer_roundtrip(quads):
         return (r[0], v(r[0], r[1]), r[2], r[3], v(r[3], r[4]), r[5] or "", r[6] or "")
 
     assert sorted(key(r, True) for r in rows) == sorted(key(r, False) for r in parsed)
+
+
+@given(doc=st.text(max_size=200))
+@settings(max_examples=150, deadline=None)
+def test_html_parsers_never_crash_unexpectedly(doc):
+    """Web-scale inputs are adversarial: arbitrary text fed to the RDFa and
+    Microdata parsers must either parse (possibly to zero quads) or raise
+    one of the DOCUMENTED error types — never IndexError/KeyError/etc."""
+    from rdf_dataset_fragmenter_js_spark.sources.microdata import parse_microdata
+    from rdf_dataset_fragmenter_js_spark.sources.rdfa import parse_rdfa
+
+    for parse in (parse_rdfa, parse_microdata):
+        try:
+            rows = parse(doc, base_iri="http://base.org/d")
+        except (NotImplementedError, ValueError):
+            continue
+        assert isinstance(rows, list)
+
+
+@given(
+    doc=st.text(
+        alphabet=st.sampled_from(list("<>=\"'/ab cdiv spanmetlink" "propertyaboutresourcevocab\n")),
+        max_size=300,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_html_parsers_never_crash_on_taglike_soup(doc):
+    """Same contract, but biased toward tag-like markup soup (unclosed
+    tags, half attributes, nested garbage) to stress the scope stack."""
+    from rdf_dataset_fragmenter_js_spark.sources.microdata import parse_microdata
+    from rdf_dataset_fragmenter_js_spark.sources.rdfa import parse_rdfa
+
+    for parse in (parse_rdfa, parse_microdata):
+        try:
+            rows = parse(doc, base_iri="http://base.org/d")
+        except (NotImplementedError, ValueError):
+            continue
+        assert isinstance(rows, list)
+
+
+@given(
+    doc=st.text(
+        alphabet=st.sampled_from(list("<>{}=#@.;,()[]\"'\\^ab:/_ \n")),
+        max_size=200,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_n3_parser_never_crashes_unexpectedly(doc):
+    """parse_n3 on arbitrary Turtle-ish soup either parses or raises its
+    documented NotImplementedError (N3-only construct) / ValueError
+    (Turtle parse error) — never an internal exception type."""
+    from rdf_dataset_fragmenter_js_spark.sources.turtle import parse_n3
+
+    try:
+        rows = parse_n3(doc)
+    except (NotImplementedError, ValueError):
+        return
+    assert isinstance(rows, list)
