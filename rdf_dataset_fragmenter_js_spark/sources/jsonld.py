@@ -76,8 +76,11 @@ class _Context:
 
 
 class _Parser:
-    def __init__(self, base_iri: str | None):
+    def __init__(self, base_iri: str | None, contexts: dict | None = None):
         self.base_iri = base_iri
+        #: offline documentLoader: context URL → parsed context JSON (dict,
+        #: list, or a full {"@context": ...} wrapper)
+        self.contexts = contexts or {}
         self.quads: list[tuple] = []
         self._bnode_n = 0
         self._bnode_map: dict[str, str] = {}
@@ -99,9 +102,15 @@ class _Parser:
                 ctx = self.parse_context(part, ctx)
             return ctx
         if isinstance(ctx_json, str):
+            if ctx_json in self.contexts:
+                resolved = self.contexts[ctx_json]
+                if isinstance(resolved, dict) and "@context" in resolved:
+                    resolved = resolved["@context"]
+                return self.parse_context(resolved, ctx)
             raise NotImplementedError(
                 f"remote @context {ctx_json!r} is not supported (the engine "
-                "does no network I/O) — inline the context"
+                "does no network I/O) — inline the context, or pass it "
+                "offline via the contexts= mapping (documentLoader style)"
             )
         if not isinstance(ctx_json, dict):
             raise ValueError(f"invalid @context: {ctx_json!r}")
@@ -487,10 +496,16 @@ class _Parser:
         raise NotImplementedError(f"@value of type {type(v).__name__} (use @json-free documents)")
 
 
-def parse_jsonld(text: str, base_iri: str | None = None) -> list[tuple]:
+def parse_jsonld(
+    text: str, base_iri: str | None = None, contexts: dict | None = None
+) -> list[tuple]:
     """Parse a JSON-LD document → quad tuples in the engine schema
-    (s_type, s, p, o_type, o, o_datatype, o_lang, g, seq)."""
-    p = _Parser(base_iri)
+    (s_type, s, p, o_type, o, o_datatype, o_lang, g, seq).
+
+    ``contexts`` maps context URLs to their (already-parsed) JSON — the
+    offline equivalent of a jsonld documentLoader. The engine never does
+    network I/O; an unmapped remote context URL fails fast."""
+    p = _Parser(base_iri, contexts=contexts)
     p.process_document(json.loads(text))
     return p.quads
 
@@ -526,11 +541,15 @@ def serialize_jsonld(rows: list[tuple]) -> str:
     return json.dumps(doc)
 
 
-def read_jsonld(spark, path: str, base_iri: str | None = None):
+def read_jsonld(
+    spark, path: str, base_iri: str | None = None, contexts: dict | None = None
+):
     """``QuadSourceFile`` for ``.jsonld`` — per-file parsed (driver for one
     file, distributed for globs/directories); accepts a file, glob, or
     directory. ``base_iri`` defaults per file to its URI like rdf-parse's
-    ``path`` option."""
+    ``path`` option. ``contexts`` is the offline documentLoader mapping
+    (context URL → parsed JSON), broadcast to executors with the parse
+    closure for multi-file reads."""
     from rdf_dataset_fragmenter_js_spark.sources.driverfile import read_driver_parsed
     from rdf_dataset_fragmenter_js_spark.sources.nquads import JSONLD_EXTENSIONS
 
@@ -539,6 +558,6 @@ def read_jsonld(spark, path: str, base_iri: str | None = None):
         path,
         JSONLD_EXTENSIONS,
         base_iri,
-        lambda text, base: parse_jsonld(text, base_iri=base),
+        lambda text, base: parse_jsonld(text, base_iri=base, contexts=contexts),
         "read_jsonld",
     )

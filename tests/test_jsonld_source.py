@@ -312,3 +312,43 @@ def test_index_container_maps():
         '{"@id": "http://ex.org/s", "@index": "k", '
         '"http://ex.org/p": {"@value": "v", "@index": "j"}}'
     )[0][4] == "v"
+
+
+def test_remote_context_offline_documentloader(spark, tmp_path):
+    """Remote context URLs resolve through the offline contexts= mapping
+    (documentLoader style); unmapped URLs still fail fast."""
+    from rdf_dataset_fragmenter_js_spark.sources.jsonld import read_jsonld
+
+    ctxs = {
+        "http://ctx.example/v1": {
+            "@context": {"name": "http://ex.org/name", "ex": "http://ex.org/"}
+        }
+    }
+    doc = (
+        '{"@context": "http://ctx.example/v1", "@id": "ex:s", "name": "N"}'
+    )
+    rows = parse_jsonld(doc, contexts=ctxs)
+    assert {(q[1], q[2], q[4]) for q in rows} == {(E + "s", E + "name", "N")}
+    # array-of-contexts mixing a remote URL with an inline override
+    rows = parse_jsonld(
+        '{"@context": ["http://ctx.example/v1", {"name": "http://o.org/n"}],'
+        ' "@id": "ex:s", "name": "N"}',
+        contexts=ctxs,
+    )
+    assert {(q[2]) for q in rows} == {"http://o.org/n"}
+    with pytest.raises(NotImplementedError, match="remote @context"):
+        parse_jsonld(doc, contexts={})
+
+    # threads through the distributed multi-file read
+    d = tmp_path / "docs"
+    d.mkdir()
+    for i in range(2):
+        (d / f"p{i}.jsonld").write_text(
+            '{"@context": "http://ctx.example/v1",'
+            f' "@id": "http://ex.org/s{i}", "name": "N{i}"}}'
+        )
+    got = {
+        (r.s, r.o)
+        for r in read_jsonld(spark, str(d), contexts=ctxs).collect()
+    }
+    assert got == {(E + "s0", "N0"), (E + "s1", "N1")}
