@@ -258,9 +258,11 @@ def write_fragment_files(
     def write_jsonld(pdf: pd.DataFrame) -> pd.DataFrame:
         from rdf_dataset_fragmenter_js_spark.sources.jsonld import serialize_jsonld
 
+        def _n(v):  # pandas may surface missing strings as NaN
+            return None if v is None or (isinstance(v, float) and pd.isna(v)) else v
+
         rows = [
-            (r.s_type, r.s, r.p, r.o_type, r.o, r.o_datatype, r.o_lang,
-             None if pd.isna(r.g) else r.g)
+            (r.s_type, r.s, r.p, r.o_type, r.o, _n(r.o_datatype), _n(r.o_lang), _n(r.g))
             for r in pdf.itertuples()
         ]
         _write_text(pdf["path"].iloc[0], serialize_jsonld(rows))

@@ -516,10 +516,15 @@ def test_html_parsers_never_crash_unexpectedly(doc):
 
 
 @given(
-    doc=st.text(
-        alphabet=st.sampled_from(list("<>=\"'/ab cdiv spanmetlink" "propertyaboutresourcevocab\n")),
-        max_size=300,
-    )
+    doc=st.lists(
+        st.sampled_from(
+            list("<>=\"'/ab cdiv spanmetlink\n")
+            + ["property", "about", "resource", "vocab", "typeof", "prefix",
+               "href", "src", "content", "datetime", "itemscope", "itemprop",
+               "itemtype", "itemid", "itemref", "time", "base", "lang"]
+        ),
+        max_size=120,
+    ).map("".join)
 )
 @settings(max_examples=150, deadline=None)
 def test_html_parsers_never_crash_on_taglike_soup(doc):
