@@ -3,7 +3,7 @@ to rdf-parse, which routes it to jsonld-streaming-parser). Driver/executor
 per-file parsing like the Turtle and RDF/XML sources (a JSON document is
 not line-splittable), built on stdlib ``json``.
 
-Coverage — the JSON-LD 1.0 core that appears in real data documents:
+Coverage — the JSON-LD core that appears in real data documents:
 
 * expanded form (``@id`` / ``@type`` / ``@value`` / ``@language`` /
   ``@list`` / ``@graph`` objects and arrays);
@@ -27,7 +27,8 @@ Coverage — the JSON-LD 1.0 core that appears in real data documents:
 
 Exotic features fail fast with a targeted message instead of silently
 mis-parsing: REMOTE contexts (a context URL — the engine does no network
-I/O), ``@json`` literals, ``@direction``, ``@graph`` containers, and
+I/O; pass them offline via the ``contexts=`` documentLoader mapping),
+``@json`` literals, ``@direction``, ``@graph`` containers, and
 framing documents.
 """
 
