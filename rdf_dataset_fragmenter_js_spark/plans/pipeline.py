@@ -213,13 +213,21 @@ def build_source(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
         # the optional baseIRI resolve (QuadSourceFile.ts:12,19-25,35-37).
         # "format": "microdata" overrides the dispatch for .html (which
         # otherwise routes to the RDFa parser, rdf-parse's primary route).
-        if spec.get("format") == "microdata":
+        fmt = spec.get("format")
+        if fmt == "microdata":
             from rdf_dataset_fragmenter_js_spark.sources.microdata import (
                 read_microdata,
             )
 
             return read_microdata(
                 spark, spec["filePath"], base_iri=spec.get("baseIRI")
+            )
+        if fmt is not None:
+            # an explicit-but-unknown format must NOT silently fall back to
+            # extension dispatch (a typo would route .html through RDFa)
+            raise ValueError(
+                f"QuadSourceFile format {fmt!r} is not a recognized override "
+                "— omit it for extension dispatch, or use 'microdata'"
             )
         return read_rdf(spark, spec["filePath"], base_iri=spec.get("baseIRI"))
     if t == "QuadSourceComposite":
@@ -507,14 +515,12 @@ def _is_nquads_chain(sink: dict[str, Any]) -> bool:
     """A QuadSinkFile in the reference N-Quads layout, possibly wrapped in
     QuadSinkFiltered layers — these children can share one output tree with
     true append semantics (below)."""
+    from rdf_dataset_fragmenter_js_spark.sinks.paths import NQUADS_FORMATS
+
     t = sink["@type"]
     if t == "QuadSinkFiltered":
         return _is_nquads_chain(sink["sink"])
-    return t == "QuadSinkFile" and sink.get("outputFormat") in (
-        None,
-        "application/n-quads",
-        "nquads",
-    )
+    return t == "QuadSinkFile" and sink.get("outputFormat") in NQUADS_FORMATS
 
 
 def _nquads_chain_frame(sink: dict[str, Any], routed: DataFrame) -> DataFrame:

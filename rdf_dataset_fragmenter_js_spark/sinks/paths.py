@@ -132,6 +132,13 @@ _TEXT_FORMATS = {
     "jsonld": "jsonld",
 }
 
+#: shared aliases derived from the one registry above — streaming and the
+#: config compiler consume these instead of hand-copied tuples, so adding
+#: a format/alias is a single edit
+NQUADS_FORMATS = tuple(k for k, v in _TEXT_FORMATS.items() if v == "nquads")
+TRIPLES_ONLY_FORMATS = tuple(k for k, v in _TEXT_FORMATS.items() if v == "ntriples")
+LINE_APPENDABLE_FORMATS = NQUADS_FORMATS + TRIPLES_ONLY_FORMATS
+
 
 def forbid_named_graphs(df: DataFrame) -> DataFrame:
     """Triple-only serializations (Turtle, N-Triples) cannot carry named
@@ -343,6 +350,11 @@ def sink_csv(
     from rdf_dataset_fragmenter_js_spark.operators.matchers import TERM_COLUMNS
 
     cols = [F.col(TERM_COLUMNS[c][0]).alias(c) for c in columns]
+    # file: URIs are local — collapse to the plain path so the driver-side
+    # merge below globs/opens the real filesystem location, not './file:…'
+    m = re.match(r"^file:(//[^/]*)?(/.*)$", path, re.IGNORECASE)
+    if m:
+        path = m.group(2)
     if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", path) and not path.startswith("file:"):
         # non-local destination: the driver can't merge part files — keep
         # the reference's one-file shape via a single write task (unguarded;

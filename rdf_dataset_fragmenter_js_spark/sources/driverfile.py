@@ -96,7 +96,10 @@ def _expand_hadoop(spark, path: str, extensions: tuple[str, ...]) -> list[str]:
             if st.isFile() and str(st.getPath()).lower().endswith(extensions)
         ]
     else:
-        files = [path]
+        # qualify like the FileSystem itself does (default port, canonical
+        # authority) — wholeTextFiles returns qualified URIs, and index_of
+        # must key on the same form or every row misses the file map
+        files = [str(fs.makeQualified(p))]
     files.sort()
     if not files:
         raise FileNotFoundError(f"no files match {path!r}")

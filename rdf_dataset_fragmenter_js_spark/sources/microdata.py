@@ -27,15 +27,13 @@ literals are plain or language-tagged, matching the note.
 
 from __future__ import annotations
 
-import re
-from html.parser import HTMLParser
+from rdf_dataset_fragmenter_js_spark.sources._htmlbase import (
+    ABSOLUTE_IRI as _ABSOLUTE_IRI,
+)
+from rdf_dataset_fragmenter_js_spark.sources._htmlbase import QuadHtmlParser
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
-_ABSOLUTE_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
-_VOID = frozenset(
-    "area base br col embed hr img input link meta param source track wbr".split()
-)
 _SRC_ELEMENTS = frozenset("img audio video embed iframe source track".split())
 
 
@@ -59,29 +57,12 @@ class _Scope:
         self.literal = literal
 
 
-class _MicrodataParser(HTMLParser):
+class _MicrodataParser(QuadHtmlParser):
+    BNODE_PREFIX = "genid_md_"
+
     def __init__(self, base_iri: str | None):
-        super().__init__(convert_charrefs=True)
-        self.base = base_iri
-        self.quads: list[tuple] = []
-        self._bnode_n = 0
-        self.stack = [_Scope(None, None, None, None)]
-
-    def _fresh_bnode(self):
-        self._bnode_n += 1
-        return ("BlankNode", f"genid_md_{self._bnode_n}")
-
-    def _emit(self, s, p, o, lang=None):
-        self.quads.append(
-            (s[0], s[1], p, o[0], o[1], None, lang, None, len(self.quads))
-        )
-
-    def _resolve(self, iri: str) -> str:
-        if _ABSOLUTE_IRI.match(iri) or self.base is None:
-            return iri
-        from rdf_dataset_fragmenter_js_spark.functions.iri import resolve_iri
-
-        return resolve_iri(iri, self.base)
+        super().__init__(base_iri)
+        self.stack.append(_Scope(None, None, None, None))
 
     def _prop_iris(self, itemprop: str, prop_base: str | None) -> list[str]:
         out = []
@@ -138,38 +119,17 @@ class _MicrodataParser(HTMLParser):
                     self._emit(parent.item, p, o)
             elif tag == "meta":
                 for p in props:
-                    self._emit(parent.item, p, ("Literal", a.get("content") or ""), lang)
+                    self._emit(parent.item, p, ("Literal", a.get("content") or ""), lang=lang)
             elif tag in ("data", "meter") and a.get("value") is not None:
                 for p in props:
-                    self._emit(parent.item, p, ("Literal", a["value"]), lang)
+                    self._emit(parent.item, p, ("Literal", a["value"]), lang=lang)
             elif tag == "time" and a.get("datetime") is not None:
                 for p in props:
-                    self._emit(parent.item, p, ("Literal", a["datetime"]), lang)
+                    self._emit(parent.item, p, ("Literal", a["datetime"]), lang=lang)
             else:
                 scope.literal = (parent.item, props, lang, [])
 
-        if tag in _VOID:
-            self._flush_literal(scope)
-            return
-        self.stack.append(scope)
-
-    def handle_startendtag(self, tag, attrs):
-        self.handle_starttag(tag, attrs)
-        if tag not in _VOID:
-            self.handle_endtag(tag)
-
-    def handle_data(self, data):
-        for scope in self.stack:
-            if scope.literal is not None:
-                scope.literal[3].append(data)
-
-    def handle_endtag(self, tag):
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                for scope in reversed(self.stack[i:]):
-                    self._flush_literal(scope)
-                del self.stack[i:]
-                return
+        self._finish_starttag(tag, scope)
 
     def _flush_literal(self, scope):
         if scope.literal is None:
@@ -177,13 +137,8 @@ class _MicrodataParser(HTMLParser):
         item, props, lang, buf = scope.literal
         text = "".join(buf)
         for p in props:
-            self._emit(item, p, ("Literal", text), lang)
+            self._emit(item, p, ("Literal", text), lang=lang)
         scope.literal = None
-
-    def close(self):
-        super().close()
-        for scope in reversed(self.stack[1:]):
-            self._flush_literal(scope)
 
 
 def parse_microdata(text: str, base_iri: str | None = None) -> list[tuple]:

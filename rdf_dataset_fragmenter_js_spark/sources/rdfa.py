@@ -27,7 +27,14 @@ spec's term-expansion failure, not errors.
 from __future__ import annotations
 
 import re
-from html.parser import HTMLParser
+
+from rdf_dataset_fragmenter_js_spark.sources._htmlbase import (
+    ABSOLUTE_IRI as _ABSOLUTE_IRI,
+)
+from rdf_dataset_fragmenter_js_spark.sources._htmlbase import (
+    VOID_ELEMENTS as _VOID,
+)
+from rdf_dataset_fragmenter_js_spark.sources._htmlbase import QuadHtmlParser
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -55,14 +62,8 @@ INITIAL_CONTEXT = {
 }
 
 _UNSUPPORTED_ATTRS = ("rel", "rev", "inlist")
-_ABSOLUTE_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 _PREFIX_DECL = re.compile(r"([A-Za-z][\w.\-]*):\s+(\S+)")
 _NCNAME = re.compile(r"^[A-Za-z_][\w.\-]*$")
-
-#: HTML elements with no end tag (the parser pops them immediately)
-_VOID = frozenset(
-    "area base br col embed hr img input link meta param source track wbr".split()
-)
 
 #: HTML5 <time datetime=> lexical → xsd datatype (html-rdfa §3.1)
 _DATETIME_TYPES = (
@@ -88,38 +89,20 @@ class _Scope:
         self.literal = literal
 
 
-class _RdfaParser(HTMLParser):
+class _RdfaParser(QuadHtmlParser):
+    BNODE_PREFIX = "genid_rdfa_"
+
     def __init__(self, base_iri: str | None):
-        super().__init__(convert_charrefs=True)
-        self.base = base_iri
-        self.quads: list[tuple] = []
-        self._bnode_n = 0
+        super().__init__(base_iri)
         self._bnode_map: dict[str, str] = {}
         # the document node: its IRI when a base is known, else a blank
         # node (read_driver_parsed always passes the file URI as base)
         self._doc = (
             ("NamedNode", base_iri) if base_iri else ("BlankNode", "genid_rdfa_doc")
         )
-        root = _Scope(None, self._doc, dict(INITIAL_CONTEXT), None, None)
-        self.stack: list[_Scope] = [root]
+        self.stack.append(_Scope(None, self._doc, dict(INITIAL_CONTEXT), None, None))
 
     # -- term machinery ----------------------------------------------------
-
-    def _fresh_bnode(self):
-        self._bnode_n += 1
-        return ("BlankNode", f"genid_rdfa_{self._bnode_n}")
-
-    def _emit(self, s, p, o, dt=None, lang=None):
-        self.quads.append(
-            (s[0], s[1], p, o[0], o[1], dt, lang, None, len(self.quads))
-        )
-
-    def _resolve(self, iri: str) -> str:
-        if _ABSOLUTE_IRI.match(iri) or self.base is None:
-            return iri
-        from rdf_dataset_fragmenter_js_spark.functions.iri import resolve_iri
-
-        return resolve_iri(iri, self.base)
 
     def _curie_or_iri(self, value: str, scope: _Scope):
         """@about/@resource value → subject/object term (safe-CURIE, CURIE,
@@ -181,13 +164,28 @@ class _RdfaParser(HTMLParser):
         if "lang" in a or "xml:lang" in a:
             lang = a.get("lang") or a.get("xml:lang") or None
         if tag == "base" and a.get("href"):
-            # rebase the document node: scopes still pointing at it (head
-            # precedes content, so nothing has been emitted against it yet)
+            # rebase the document node: scopes still pointing at it, open
+            # literal buffers, AND any quads already emitted against it
+            # (legal head order puts <meta property content> before <base>)
             self.base = a["href"]
             new_doc = ("NamedNode", self.base)
+            old_t, old_v = self._doc
             for sc in self.stack:
                 if sc.subject == self._doc:
                     sc.subject = new_doc
+                if sc.literal is not None and sc.literal[0] == self._doc:
+                    sc.literal = (new_doc,) + sc.literal[1:]
+            self.quads = [
+                (
+                    (new_doc[0] if (q[0], q[1]) == (old_t, old_v) else q[0]),
+                    (new_doc[1] if (q[0], q[1]) == (old_t, old_v) else q[1]),
+                    q[2],
+                    (new_doc[0] if (q[3], q[4]) == (old_t, old_v) else q[3]),
+                    (new_doc[1] if (q[3], q[4]) == (old_t, old_v) else q[4]),
+                )
+                + q[5:]
+                for q in self.quads
+            ]
             self._doc = new_doc
         scope = _Scope(tag, parent.subject, prefixes, vocab, lang)
 
@@ -259,30 +257,7 @@ class _RdfaParser(HTMLParser):
                     scope.literal = (subject, props, datatype, lang, [])
                 scope.subject = subject
 
-        if tag in _VOID:
-            self._flush_literal(scope)
-            return  # not pushed: void elements have no children/end tag
-        self.stack.append(scope)
-
-    def handle_startendtag(self, tag, attrs):
-        self.handle_starttag(tag, attrs)
-        if tag not in _VOID:
-            self.handle_endtag(tag)
-
-    def handle_data(self, data):
-        for scope in self.stack:
-            if scope.literal is not None:
-                scope.literal[4].append(data)
-
-    def handle_endtag(self, tag):
-        # lenient recovery: pop to the nearest matching open tag (real-world
-        # HTML closes <p>/<li> implicitly); unmatched end tags are ignored
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                for scope in reversed(self.stack[i:]):
-                    self._flush_literal(scope)
-                del self.stack[i:]
-                return
+        self._finish_starttag(tag, scope)
 
     def _flush_literal(self, scope: _Scope):
         if scope.literal is None:
@@ -294,11 +269,6 @@ class _RdfaParser(HTMLParser):
                 subject, p, ("Literal", text), datatype, None if datatype else lang
             )
         scope.literal = None
-
-    def close(self):
-        super().close()
-        for scope in reversed(self.stack[1:]):
-            self._flush_literal(scope)
 
 
 def parse_rdfa(text: str, base_iri: str | None = None) -> list[tuple]:

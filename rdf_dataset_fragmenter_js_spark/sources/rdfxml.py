@@ -14,8 +14,9 @@ scoped ``xml:base``, property attributes on node and property elements,
 (rdf:first/rest/nil chains, same encoding as the Turtle parser's
 collections), ``rdf:ID`` reification on property elements (rdf:Statement
 + subject/predicate/object quads, §7.3), ``rdf:li`` container
-membership, and ``rdf:parseType="Literal"`` (inner markup serialized
-verbatim as an ``rdf:XMLLiteral`` literal, §7.2.17).
+membership, and ``rdf:parseType="Literal"`` (inner markup re-serialized
+as an ``rdf:XMLLiteral`` literal, §7.2.17 — infoset-preserving, but
+namespace prefixes normalize and comments drop per stdlib ElementTree).
 """
 
 from __future__ import annotations
@@ -176,8 +177,10 @@ class _Parser:
 
         if parse_type == "Literal":
             # RDF/XML §7.2.17: the element content is an rdf:XMLLiteral —
-            # the inner markup serialized verbatim (text + child elements
-            # with their tails), not parsed as RDF
+            # the inner markup re-serialized from the parsed tree, not
+            # parsed as RDF. stdlib ElementTree limits apply: namespace
+            # prefixes are normalized (ns0:...) and XML comments/PIs are
+            # dropped; the INFOSET (elements, attributes, text) survives.
             parts = [prop.text or ""]
             for child in prop:
                 parts.append(ET.tostring(child, encoding="unicode"))

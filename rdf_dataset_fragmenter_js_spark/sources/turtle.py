@@ -511,6 +511,8 @@ def _scan_n3_only_tokens(text: str) -> str | None:
                     break
                 j += 1
             i = j
+        elif c == "\\":
+            i += 2  # PN_LOCAL escape (ex:a\=b is legal Turtle), not a token
         elif c in "{}":
             return c + " (formula)"
         elif text.startswith("=>", i):

@@ -21,7 +21,6 @@ for a long-running continuous job.
 
 from __future__ import annotations
 
-import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,26 +33,24 @@ _BINARY_FILE_SCHEMA = (
 )
 
 
-def _classify_child(path: str) -> str:
+def _classify_child(path: str, spark: SparkSession) -> str:
     """Map a child source path to its streaming ingestion format:
-    'nquads' (vectorized line stream) or 'turtle'/'rdfxml'/'jsonld'
-    (per-file parse over a binaryFile stream). Ambiguous or unknown
-    targets fail fast — a directory of ``.ttl`` files lexed as N-Quads
-    lines would silently drop every quad."""
+    'nquads' (vectorized line stream) or 'turtle'/'n3'/'rdfxml'/'jsonld'/
+    'rdfa' (per-file parse over a binaryFile stream). Delegates to the
+    batch sniffer — which lists remote (hdfs://, s3a://) paths through
+    Hadoop's FileSystem — so a remote directory of ``.ttl`` files can
+    never silently fall through to the line reader and drop every quad.
+    Only a target that does not exist YET (an append directory created by
+    the producer later) defaults to N-Quads, the reference's default
+    serialization."""
     from rdf_dataset_fragmenter_js_spark.sources.nquads import _sniff_format
 
     base = path.rstrip("/")
-    if base.lower().endswith(_NQ_EXTENSIONS) or any(c in base for c in "*?["):
-        # globs stream whatever they match; sniff decides the parser
-        try:
-            return _sniff_format(base)
-        except FileNotFoundError:
-            # empty-now append directory: a glob that matches nothing yet
-            # defaults to the line reader (the reference's default format)
-            return "nquads"
-    if os.path.isdir(base) or not os.path.exists(base):
-        return _sniff_format(base) if os.path.isdir(base) else "nquads"
-    return _sniff_format(base)
+    try:
+        return _sniff_format(base, spark)
+    except FileNotFoundError:
+        # empty-now append directory / glob matching nothing yet
+        return "nquads"
 
 from rdf_dataset_fragmenter_js_spark.plans.pipeline import (
     build_strategy,
@@ -103,7 +100,7 @@ def stream_pipeline_spec(
         raise NotImplementedError(
             f"stream_pipeline_spec cannot consume source @type {src['@type']!r}"
         )
-    kinds = [_classify_child(c["filePath"]) for c in children]
+    kinds = [_classify_child(c["filePath"], spark) for c in children]
     sink = spec["quadSink"]
     if sink["@type"] != "QuadSinkFile":
         raise NotImplementedError(
@@ -111,18 +108,17 @@ def stream_pipeline_spec(
             "(parquet or per-fragment N-Quads); compose other sinks over "
             "the written table"
         )
+    from rdf_dataset_fragmenter_js_spark.sinks.paths import (
+        LINE_APPENDABLE_FORMATS,
+        TRIPLES_ONLY_FORMATS,
+    )
+
     out_fmt = sink.get("outputFormat")
     parquet_sink = out_fmt == "parquet"
-    #: line-appendable text formats; TriG blocks / JSON-LD documents are
-    #: whole-file structures that cannot grow by appending lines
-    _LINE_FORMATS = (
-        None, "application/n-quads", "nquads",
-        "application/n-triples", "ntriples", "text/turtle", "turtle",
-    )
-    triples_only = out_fmt in (
-        "application/n-triples", "ntriples", "text/turtle", "turtle",
-    )
-    if not parquet_sink and out_fmt not in _LINE_FORMATS:
+    # TriG blocks / JSON-LD documents are whole-file structures that
+    # cannot grow by appending lines
+    triples_only = out_fmt in TRIPLES_ONLY_FORMATS
+    if not parquet_sink and out_fmt not in LINE_APPENDABLE_FORMATS:
         raise NotImplementedError(
             f"stream_pipeline_spec cannot APPEND outputFormat {out_fmt!r}: "
             "TriG graph blocks and JSON-LD documents are not "

@@ -121,3 +121,17 @@ def test_config_format_override_e2e(spark, tmp_path):
         ("http://ex.org/w", RDF_NS + "type", S + "Thing"),
         ("http://ex.org/w", S + "name", "W"),
     }
+
+
+def test_config_unknown_format_rejected(spark, tmp_path):
+    """An explicit-but-unknown format must raise, not silently fall back
+    to extension dispatch."""
+    from rdf_dataset_fragmenter_js_spark.plans.pipeline import build_source
+
+    doc = tmp_path / "p.html"
+    doc.write_text("<div itemscope></div>")
+    with pytest.raises(ValueError, match="not a recognized override"):
+        build_source(
+            spark,
+            {"@type": "QuadSourceFile", "filePath": str(doc), "format": "Microdata"},
+        )

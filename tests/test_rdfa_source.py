@@ -116,3 +116,16 @@ def test_read_rdf_dispatches_html_e2e(spark, tmp_path):
         ("http://ex.org/w", RDF_NS + "type", S + "Thing"),
         ("http://ex.org/w", S + "name", "W"),
     }
+
+
+def test_base_after_meta_rebases_emitted_quads():
+    """Legal head order puts metas before <base>; the og:title emitted
+    against the original base must be rewritten onto the rebased document
+    node (one document node, not two subjects)."""
+    html = (
+        '<html><head><meta property="og:title" content="T">'
+        '<base href="http://moved.org/doc"></head>'
+        '<body><span property="foaf:name" about="">N</span></body></html>'
+    )
+    rows = parse_rdfa(html, base_iri=B)
+    assert {r[1] for r in rows} == {"http://moved.org/doc"}

@@ -326,3 +326,20 @@ def test_pipeline_spec_turtle_output(spark, tmp_path):
     run_pipeline_spec(spark, spec, out)
     back = read_rdf(spark, f"{out}/b.ttl").collect()
     assert len(back) == 1 and back[0].o == "v"
+
+
+def test_sink_csv_file_scheme_uri(spark, tmp_path):
+    """file: URIs are local: the driver-side merge must target the real
+    path, not a literal './file:...' directory."""
+    from rdf_dataset_fragmenter_js_spark.sinks.paths import sink_csv
+    from rdf_dataset_fragmenter_js_spark.strategies import route_subject
+
+    quads = quads_df(
+        spark, [quad("http://ex.org/a", "http://ex.org/p", "v", o_type="Literal")]
+    )
+    out = tmp_path / "csv_out"
+    sink_csv(route_subject(quads), ["subject", "object"], f"file:{out}")
+    merged = out / "part-00000-merged.csv"
+    assert merged.exists()
+    lines = merged.read_text().strip().splitlines()
+    assert lines[0] == "subject,object" and "http://ex.org/a" in lines[1]

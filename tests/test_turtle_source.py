@@ -299,3 +299,12 @@ def test_n3_dispatch_e2e(spark, tmp_path):
         ("http://ex.org/s", "http://ex.org/o", None),
         ("http://ex.org/s2", "lit", "en"),
     }
+
+
+def test_n3_pn_local_escapes_not_flagged():
+    """PN_LOCAL escapes (ex:a\\=b is legal Turtle) must not trip the
+    N3-only-token pre-scan."""
+    from rdf_dataset_fragmenter_js_spark.sources.turtle import parse_n3
+
+    quads = parse_n3("@prefix ex: <http://ex.org/> .\nex:a\\=b ex:p ex:o .\n")
+    assert quads[0][1] == "http://ex.org/a=b"

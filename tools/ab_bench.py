@@ -65,6 +65,11 @@ def run_bench(worktree: str) -> dict:
         text=True,
         timeout=3600,
     )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"bench.py in {worktree} exited {proc.returncode}; stderr tail:\n"
+            + proc.stderr[-2000:]
+        )
     # Spark progress bars glue \r frames onto stdout; the result is the
     # last line that parses as a JSON object.
     for line in reversed(proc.stdout.replace("\r", "\n").splitlines()):
