@@ -143,7 +143,7 @@ def bloem_bit_indexes(value: bytes, size_bits: int, slices: int) -> list[int]:
 
 def bloem_bitfield(values: list[bytes], size_bits: int, slices: int) -> bytes:
     """Build the bloem-layout bitfield for a set of member values."""
-    buf = bytearray(size_bits // 8)
+    buf = bytearray((size_bits + 7) // 8)  # ceil: bit m-1 must have a byte
     for v in values:
         for idx in bloem_bit_indexes(v, size_bits, slices):
             buf[idx >> 3] |= 1 << (idx & 7)

@@ -20,10 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rdf_dataset_fragmenter_js_spark.textops.dedup import (
-    char_shingles,
-    near_dup_clusters,
-)
+from rdf_dataset_fragmenter_js_spark.textops.dedup import near_dup_clusters
 
 SALTS = 64
 
@@ -32,29 +29,17 @@ def ngram_containment_pairs(
     docs: DataFrame, candidates: DataFrame, shingle_size: int = 3
 ) -> DataFrame:
     """Char n-gram containment |A∩B| / min(|A|,|B|) for candidate pairs,
-    scaled to basis points (exact integer arithmetic)."""
-    sh = char_shingles(docs, n=shingle_size)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        candidates.join(a_sh, on="doc_a")
-        .join(b_sh, on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(na, on="doc_a")
-        .join(nb, on="doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.floor(F.col("inter") * 10000 / F.least(F.col("na"), F.col("nb")))
-            .cast("long")
-            .alias("containment_bp"),
-        )
+    scaled to basis points (exact integer arithmetic). Rides the shared
+    persisted-shingle skeleton (textops/dedup.py:shingle_overlap_pairs),
+    so the explode+distinct runs once, not once per plan branch."""
+    from rdf_dataset_fragmenter_js_spark.textops.dedup import shingle_overlap_pairs
+
+    return shingle_overlap_pairs(
+        docs,
+        candidates,
+        shingle_size,
+        lambda inter, na, nb: F.floor(inter * 10000 / F.least(na, nb)),
+        "containment_bp",
     )
 
 

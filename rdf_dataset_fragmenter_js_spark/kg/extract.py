@@ -181,21 +181,6 @@ def extract_page_triples(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(batches, schema=schema)
 
 
-def link_score_col(mention_col, canonical_name_col):
-    """Entity-link score: trigram Jaccard between the normalized mention and
-    the candidate canonical name — a pure column expression (JVM-side), used
-    to rank candidate links."""
-    def grams(c):
-        norm = F.regexp_replace(F.lower(c), r"[^a-z]", "")
-        idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - 2, F.lit(1)))
-        return F.array_distinct(F.transform(idx, lambda p: F.substring(norm, p, 3)))
-
-    a, b = grams(mention_col), grams(canonical_name_col)
-    inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
-    return F.round(inter / F.greatest(union, F.lit(1)), 6)
-
-
 # ---------------------------------------------------------------------------
 # Reference extractor (single-threaded, frozen) — scoring target
 # ---------------------------------------------------------------------------

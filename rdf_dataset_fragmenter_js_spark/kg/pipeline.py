@@ -61,14 +61,17 @@ def build_quads(pages: DataFrame, persist_intermediate: bool = True) -> DataFram
 
     The extracted-triples relation is consumed twice (once aggregated into
     the canonical mapping, once as the output pass); ``persist_intermediate``
-    persists it MEMORY_AND_DISK so the page corpus is scanned exactly once —
-    at the 100 TB tier this intermediate would be written to a table between
-    the two phases instead (same shape, explicit storage)."""
+    stores it via an eager ``localCheckpoint`` so the page corpus is scanned
+    exactly once — checkpoint blocks are OWNED by the returned frame and
+    released when it is garbage-collected, unlike a ``persist``, which lives
+    in the session CacheManager until explicitly unpersisted and would
+    accumulate across repeated calls (the dedup operators follow the same
+    rule, ``textops/dedup.py``). At the 100 TB tier this intermediate would
+    be written to a table between the two phases instead (same shape,
+    explicit storage)."""
     triples = extract_page_triples(pages)  # fused single Arrow stage
     if persist_intermediate:
-        from pyspark.storagelevel import StorageLevel
-
-        triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
+        triples = triples.localCheckpoint(eager=True)
     mentions = triples.select(F.col("subj_surface").alias("surface")).unionByName(
         triples.select(F.col("obj_surface").alias("surface"))
     )

@@ -48,12 +48,23 @@ def match_term_value(term: str, regex: str, probability: float = 1.0) -> Marker:
     ``MurmurHash3(group1 ?? value) / (MAX_SAFE_INTEGER>>>0) <= probability``.
 
     The murmur hash is the bit-exact imurmurhash UDF (Spark's ``hash()`` is a
-    different Murmur3 variant)."""
+    different Murmur3 variant).
+
+    Graph component: the JS ``DefaultGraph`` term has ``value === ""``, while
+    the engine stores the default graph as NULL — coalesced here so
+    ``regex.test("")`` semantics (e.g. ``.*`` matching default-graph quads)
+    carry over. Known edge: a capture group that PARTICIPATES but captures
+    the empty string is indistinguishable from a non-participating group in
+    Spark's ``regexp_extract`` (both return ``""``); JS hashes ``""`` for the
+    former — for such regexes the sampling hash input falls back to the full
+    value here."""
     value_col, _ = TERM_COLUMNS[term]
     has_group = re.compile(regex).groups >= 1
 
     def expr(df: DataFrame) -> Column:
         col = F.col(value_col)
+        if term == "graph":
+            col = F.coalesce(col, F.lit(""))
         matched = col.rlike(regex)
         if probability >= 1.0:
             return matched

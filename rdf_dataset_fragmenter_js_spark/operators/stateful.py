@@ -131,6 +131,8 @@ class RemapResourceIdentifier:
         typed = quads.filter(
             (F.col("s_type") == NAMED_NODE)
             & (F.col("p") == RDF_TYPE)
+            & (F.col("o_type") == NAMED_NODE)  # same filter as resource_table:
+            # a literal rdf:type object never registers a resource
             & F.col("o").rlike(self.type_regex)
         ).select(F.col("s").alias("res")).distinct()
         ids = quads.join(typed, quads["s"] == typed["res"], "left_semi").filter(
@@ -181,7 +183,15 @@ def blank_to_fragment(quads: DataFrame, validate: bool = False) -> DataFrame:
     same bnode pass through UNCHANGED (reference quirk: only the minting quad
     is rewritten); bnode-subject quads are rewritten via the mapping
     (reference errors on unmapped bnode subjects — here dropped unless
-    ``validate``)."""
+    ``validate``).
+
+    First-occurrence identity is ``(o == bnode, seq == min seq)`` — it
+    assumes ``seq`` is unique per row. Expanding transformers that
+    deliberately REUSE the original quad's seq as its identity (``clone``,
+    ``append_quad`` — the TransformCallbackMap contract) therefore rewrite
+    every copy of the minting quad when composed BEFORE this transformer,
+    where the reference's stream walk rewrites only the first copy. Compose
+    blank-to-fragment first (the reference configs do) to avoid the edge."""
     first_owner = (
         quads.filter((F.col("s_type") == NAMED_NODE) & (F.col("o_type") == "BlankNode"))
         .groupBy(F.col("o").alias("bnode"))

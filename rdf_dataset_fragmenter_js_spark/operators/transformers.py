@@ -223,7 +223,10 @@ def append_quad(
         s_t, s_v, _, _ = template(matched, s, "subject")
         _, p_v, _, _ = template(matched, p, "predicate")
         o_t, o_v, o_dt, o_lang = template(matched, o, "object")
-        g_v = F.lit(None).cast("string") if g is None else template(matched, g, "graph")[1]
+        # None = copy, uniformly with s/p/o (the reference's graph param is
+        # a required ITermTemplate; TermTemplateQuadComponent on 'graph' is
+        # its copy form — QuadTransformerAppendQuad.ts:18,37)
+        g_v = template(matched, g, "graph")[1]
         appended = matched.select(
             s_t.alias("s_type"),
             s_v.alias("s"),

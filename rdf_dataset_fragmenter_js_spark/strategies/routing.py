@@ -116,14 +116,30 @@ def route_resource_object(
     quads by subject; the document is the object of the subject's FIRST quad
     (stream order = ``seq``) whose predicate matches ``targetPredicateRegex``.
     Subjects with no target are dropped (reference warns, :55-59); a
-    non-NamedNode target raises in the reference (:41-43) — here such rows
-    are excluded and surfaced via ``check_named_target`` at plan level.
+    non-NamedNode target raises in the reference (:41-43) — replicated as
+    an in-plan ``raise_error`` that fires at action time. Pass
+    ``check_named_target=False`` to skip the check (literal targets then
+    become document IRIs verbatim).
     """
     matches = quads.filter(F.col("p").rlike(target_predicate_regex))
     if check_named_target:
-        # Reference raises on non-NamedNode targets; batch equivalent: fail
-        # fast at action time via an assertion column the caller may check.
-        matches = matches.filter(F.col("o_type") == NAMED_NODE)
+        matches = matches.withColumn(
+            "o",
+            F.when(
+                F.col("o_type") != NAMED_NODE,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "FragmentationStrategyResourceObject: target "
+                            "predicate value must be a NamedNode, got "
+                        ),
+                        F.col("o_type"),
+                        F.lit(" on subject "),
+                        F.col("s"),
+                    )
+                ),
+            ).otherwise(F.col("o")),
+        )
     targets = matches.groupBy("s").agg(F.min_by("o", "seq").alias("doc"))
     return quads.join(targets, on="s", how="inner").select(
         "doc", *[c for c in quads.columns]

@@ -176,9 +176,14 @@ def void_summary(quads_with_dataset: DataFrame, exact: bool = True) -> DataFrame
         cd(F.when(obj_ok, o_str)).alias("distinct_objects"),
         cd(F.col("p")).alias("properties"),
         cd(F.when(is_type_quad, F.col("o"))).alias("classes"),
+        # collect_SET: the agg buffer is bounded by the distinct (p-vocab,
+        # o-vocab) pairs (vocabulary-sized), not the quad count — collect_list
+        # would concatenate one array per QUAD before array_distinct ran,
+        # an O(dataset) single-buffer build at 100 TB. Downstream explodes
+        # the array into per-vocabulary quads, so order is immaterial.
         F.array_distinct(
             F.flatten(
-                F.collect_list(
+                F.collect_set(
                     F.when(is_type_quad, F.array(_vocab(F.col("p")), _vocab(F.col("o"))))
                     .otherwise(F.array(_vocab(F.col("p"))))
                 )
@@ -325,7 +330,7 @@ def bloom_summary(
     @pandas_udf(StringType())
     def pack_b64(position_sets: pd.Series) -> pd.Series:
         def build(positions):
-            buf = bytearray(hash_bits // 8)
+            buf = bytearray((hash_bits + 7) // 8)  # ceil, like bloem's BitBuffer
             for idx in positions:
                 buf[idx >> 3] |= 1 << (idx & 7)
             return base64.b64encode(bytes(buf)).decode("ascii")

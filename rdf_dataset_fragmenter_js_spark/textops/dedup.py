@@ -146,18 +146,22 @@ def lsh_candidate_pairs(
     return pairs
 
 
-def ngram_jaccard_pairs(
+def shingle_overlap_pairs(
     docs: DataFrame,
     candidates: DataFrame,
-    shingle_size: int = 8,
+    shingle_size: int,
+    score_col,
+    score_name: str,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact Jaccard similarity over char-shingle sets for candidate pairs
-    (doc_a, doc_b). Returns (doc_a, doc_b, jaccard rounded to 4dp).
-
-    The shingle set feeds three plan branches (sizes, a-side, b-side);
-    persist it so the explode+distinct runs once, not three times."""
+    """Shared skeleton for exact char-shingle overlap scores on candidate
+    pairs: (doc_a, doc_b, inter, na, nb) → ``score_col(...)`` as
+    ``score_name``. The shingle set feeds three plan branches (sizes,
+    a-side, b-side); it is persisted so the explode+distinct runs once,
+    the pair-sized result is checkpointed, and the cache is released —
+    both the Jaccard verifier here and the containment scorer in
+    ``kg/canonicalize.py`` ride this one implementation."""
     sh = char_shingles(docs, n=shingle_size, id_col=id_col, text_col=text_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
@@ -170,20 +174,15 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    # jaccard scaled to basis points via pure integer arithmetic — exact and
-    # identical across engines (decimal round() is not: Spark rounds the
-    # shortest decimal string HALF_UP, DuckDB rounds the binary double).
     out = (
         inter.join(na, on="doc_a")
         .join(nb, on="doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.floor(
-                F.col("inter") * 10000 / (F.col("na") + F.col("nb") - F.col("inter"))
-            )
+            score_col(F.col("inter"), F.col("na"), F.col("nb"))
             .cast("long")
-            .alias("jaccard_bp"),
+            .alias(score_name),
         )
     )
     # materialize the (pair-sized) scores, then release the shingle cache —
@@ -191,6 +190,28 @@ def ngram_jaccard_pairs(
     out = out.localCheckpoint(eager=True)
     sh.unpersist()
     return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    shingle_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard over char-shingle sets for candidate pairs, scaled to
+    basis points via pure integer arithmetic — exact and identical across
+    engines (decimal round() is not: Spark rounds the shortest decimal
+    string HALF_UP, DuckDB rounds the binary double)."""
+    return shingle_overlap_pairs(
+        docs,
+        candidates,
+        shingle_size,
+        lambda inter, na, nb: F.floor(inter * 10000 / (na + nb - inter)),
+        "jaccard_bp",
+        id_col=id_col,
+        text_col=text_col,
+    )
 
 
 def simhash16(

@@ -20,6 +20,9 @@ def _docs(spark):
 def test_dedup_pipeline_releases_cache(spark):
     from rdf_dataset_fragmenter_js_spark.textops import dedup as D
 
+    # other test modules cache fixtures session-wide; this test asserts the
+    # DEDUP calls add nothing, so start from a clean CacheManager
+    spark.catalog.clearCache()
     docs = _docs(spark)
     for _ in range(2):  # repeated calls must not accumulate cache entries
         pairs = D.lsh_candidate_pairs(docs, k=8, bands=4, shingle_size=4)

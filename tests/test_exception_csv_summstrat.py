@@ -158,3 +158,25 @@ def test_single_file_guards(spark, tmp_path, monkeypatch):
     assert len(files) == 1  # merged to one part
     back = spark.read.option("header", True).csv(out)
     assert back.count() == 50
+
+
+def test_resource_object_non_named_target_raises(spark):
+    """Reference parity (FragmentationStrategyResourceObject.ts:41-43): a
+    literal value under the target predicate raises; with the check off it
+    routes to the literal verbatim."""
+    from rdf_dataset_fragmenter_js_spark.quads import quad, quads_df
+    from rdf_dataset_fragmenter_js_spark.strategies.routing import (
+        route_resource_object,
+    )
+
+    df = quads_df(
+        spark,
+        [
+            quad("ex:s", "ex:target", "not-an-iri", o_type="Literal", seq=1),
+            quad("ex:s", "ex:target", "ex:doc", seq=2),
+        ],
+    )
+    with pytest.raises(Exception, match="NamedNode"):
+        route_resource_object(df, "target$").collect()
+    rows = route_resource_object(df, "target$", check_named_target=False).collect()
+    assert {r.doc for r in rows} == {"not-an-iri"}

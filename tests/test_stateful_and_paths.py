@@ -343,3 +343,26 @@ def test_sink_csv_file_scheme_uri(spark, tmp_path):
     assert merged.exists()
     lines = merged.read_text().strip().splitlines()
     assert lines[0] == "subject,object" and "http://ex.org/a" in lines[1]
+
+
+def test_remap_validate_ignores_literal_type_objects(spark):
+    """validate() applies the same o_type filter as resource_table: a
+    literal rdf:type object never registers a resource, so it must not be
+    reported as non-finalized."""
+    from rdf_dataset_fragmenter_js_spark.operators.stateful import (
+        RemapResourceIdentifier,
+    )
+
+    remap = RemapResourceIdentifier("#Post", "Post$", "hasId$", "hasCreator$")
+    df = quads_df(
+        spark,
+        [
+            quad("ex:post1", RDF_TYPE, "ex:Post", seq=1),
+            quad("ex:post1", "ex:hasId", "7", o_type="Literal", seq=2),
+            quad("ex:post1", "ex:hasCreator", "ex:alice", seq=3),
+            # literal-typed 'Post' — ignored by resource_table, must be
+            # ignored by validate too
+            quad("ex:ghost", RDF_TYPE, "ex:Post", o_type="Literal", seq=4),
+        ],
+    )
+    remap.validate(df)  # must not raise

@@ -140,3 +140,21 @@ def test_bloom_summary_membership_roundtrip(spark):
 def test_bloom_empty_input_no_output(spark):
     df = _with_dataset(spark, []).limit(0)
     assert bloom_summary(df, 64, 2).count() == 0
+
+
+def test_bloem_bitfield_non_multiple_of_8_bits():
+    """Ceil byte allocation: bit positions in the last partial byte must
+    not IndexError (bloem's BitBuffer allocates ceil(bits/8))."""
+    from rdf_dataset_fragmenter_js_spark.functions.hashing import (
+        bloem_bit_indexes,
+        bloem_bitfield,
+    )
+
+    bits = 100
+    members = [f"m{i}".encode() for i in range(50)]
+    field = bloem_bitfield(members, bits, 4)
+    assert len(field) == 13
+    # at least one member must actually hit the partial last byte
+    assert any(
+        idx >= 96 for m in members for idx in bloem_bit_indexes(m, bits, 4)
+    )

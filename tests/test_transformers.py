@@ -195,3 +195,42 @@ def test_match_resource_type_full(spark):
     assert matched == ["ex:post1", "ex:post1"]
     m2 = match_resource_type("Post$", match_full_resource=False)
     assert m2(df).filter(F.col("__match")).count() == 1
+
+
+def test_append_quad_copies_graph_when_unspecified(spark):
+    """g=None copies the matched quad's graph, uniformly with s/p/o (the
+    reference's graph param is a required term template whose copy form is
+    TermTemplateQuadComponent on 'graph')."""
+    from rdf_dataset_fragmenter_js_spark.operators.matchers import match_predicate
+    from rdf_dataset_fragmenter_js_spark.operators.transformers import append_quad
+    from rdf_dataset_fragmenter_js_spark.quads import quad, quads_df
+
+    df = quads_df(
+        spark,
+        [
+            quad("ex:s", "ex:p", "ex:o", g="http://g.org/1"),
+            quad("ex:s2", "ex:p", "ex:o2"),
+        ],
+    )
+    out = append_quad(match_predicate("^ex:p$"), p={"value": "ex:added"})(df)
+    added = {(r.s, r.g) for r in out.collect() if r.p == "ex:added"}
+    assert added == {("ex:s", "http://g.org/1"), ("ex:s2", None)}
+
+
+def test_match_term_value_graph_default_graph_matches(spark):
+    """JS DefaultGraph.value is '', so `.*` on the graph component matches
+    default-graph quads; the engine's NULL g must coalesce to ''."""
+    from rdf_dataset_fragmenter_js_spark.operators.matchers import match_term_value
+    from rdf_dataset_fragmenter_js_spark.quads import quad, quads_df
+
+    df = quads_df(
+        spark,
+        [
+            quad("ex:s", "ex:p", "ex:o"),
+            quad("ex:s2", "ex:p", "ex:o2", g="http://g.org/1"),
+        ],
+    )
+    marked = match_term_value("graph", ".*")(df).collect()
+    assert all(r["__match"] for r in marked)
+    anchored = match_term_value("graph", "^$")(df).collect()
+    assert {(r.s, r["__match"]) for r in anchored} == {("ex:s", True), ("ex:s2", False)}
