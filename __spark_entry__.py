@@ -617,6 +617,50 @@ def q_kg_entity_link(spark, sf_dir):
     return link_mentions(mentions, ents, threshold_bp=2000)
 
 
+_CANON_THRESHOLD = 0.7
+
+
+def _canon_fixture() -> list[str]:
+    """Deterministic mention-surface corpus for the canonicalization gate:
+    the alias pools plus casing/punctuation/whitespace variants (same
+    normalized form ⇒ same cluster) and raw duplicates (distinct() must
+    fold them)."""
+    aliases, entities = _link_fixture()
+    base = aliases + [n for _, n in entities]
+    surfaces: list[str] = []
+    for i, s in enumerate(base):
+        surfaces.append(s)
+        if i % 2 == 0:
+            surfaces.append(s.upper())
+        if i % 3 == 0:
+            surfaces.append(s.lower() + ".")
+        if i % 4 == 0:
+            surfaces.append("  " + s + "  ")
+        if i % 5 == 0:
+            surfaces.append(s)  # raw duplicate
+    return surfaces
+
+
+def q_kg_canonical_mapping(spark, sf_dir):
+    """Entity canonicalization (north-rule stage), forced down the fully
+    DISTRIBUTED path (``driver_threshold=0``): normalize → salted distinct →
+    token blocking → char-trigram containment (basis points, exact integer
+    compare) → connected components → longest-member representative,
+    slugged. The driver fast path is equality-tested against this plan in
+    tests; the gate pins the distributed plan against an independent
+    recursive-CTE DuckDB implementation (kg/canonicalize.py:153-236 vs
+    /root/reference has no analogue — this is the engine's own KG tier)."""
+    from rdf_dataset_fragmenter_js_spark.kg.canonicalize import (
+        surface_canonical_mapping,
+    )
+
+    surfaces = _canon_fixture()
+    mentions = spark.createDataFrame([(s,) for s in surfaces], "surface string")
+    return surface_canonical_mapping(
+        mentions, containment_threshold=_CANON_THRESHOLD, driver_threshold=0
+    )
+
+
 def q_summary_void_classes(spark, sf_dir):
     quads = assign_datasets(TD.pod_quads(spark, sf_dir), [POD_PATTERN])
     is_type = (F.col("p") == RDF_TYPE) & (F.col("o_type") == "NamedNode")
@@ -840,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_spec": q_pipeline_spec,
         "pipeline_spec_summary": q_pipeline_spec_summary,
         "kg_entity_link": q_kg_entity_link,
+        "kg_canonical_mapping": q_kg_canonical_mapping,
         "summary_void_dataset": q_summary_void_dataset,
         "summary_void_properties": q_summary_void_properties,
         "summary_void_classes": q_summary_void_classes,
@@ -1141,6 +1186,66 @@ def _entity_link_oracle() -> str:
     """
 
 
+def _canonical_mapping_oracle() -> str:
+    """Independent DuckDB re-implementation of the distributed
+    canonicalization plan (kg/canonicalize.py): normalize (lower, strip
+    non-alpha, drop 1-char tokens), token blocking on first/last token,
+    char-trigram containment |A∩B|/min(|A|,|B|) in basis points, connected
+    components via a recursive transitive-closure CTE with min-label
+    clusters, representative = longest member (ties lexicographic),
+    slugged with '_'."""
+    surfaces = _canon_fixture()
+    values = ", ".join("('{}')".format(s.replace("'", "''")) for s in surfaces)
+    norm = (
+        "array_to_string(list_filter(string_split("
+        "regexp_replace(lower({c}), '[^a-z ]', '', 'g'), ' '), t -> len(t) > 1), ' ')"
+    )
+    # trigrams over the normalized form INCLUDING spaces (matches
+    # textops.dedup.char_shingles: positions 1..max(len-2, 1))
+    grams = (
+        "(SELECT array_agg(DISTINCT substring({n}, g, 3)) "
+        "FROM unnest(generate_series(1, greatest(length({n}) - 2, 1))) t(g))"
+    )
+    threshold_bp = int(_CANON_THRESHOLD * 10000)
+    return f"""
+        WITH RECURSIVE m(surface) AS (VALUES {values}),
+        raw AS (SELECT DISTINCT surface FROM m WHERE surface IS NOT NULL),
+        rn AS (SELECT surface, {norm.format(c="surface")} AS norm FROM raw),
+        forms AS (SELECT DISTINCT norm FROM rn WHERE norm <> ''),
+        g AS (SELECT norm, {grams.format(n="norm")} AS sh FROM forms),
+        blocks AS (SELECT norm, unnest(list_distinct([string_split(norm, ' ')[1],
+                                                      string_split(norm, ' ')[-1]])) AS block
+                   FROM forms),
+        pairs AS (SELECT DISTINCT a.norm AS fa, b.norm AS fb
+                  FROM blocks a JOIN blocks b USING (block) WHERE a.norm < b.norm),
+        verified AS (
+          SELECT p.fa, p.fb FROM pairs p
+          JOIN g ga ON ga.norm = p.fa JOIN g gb ON gb.norm = p.fb
+          WHERE floor(len(list_intersect(ga.sh, gb.sh)) * 10000.0 /
+                      least(len(ga.sh), len(gb.sh))) >= {threshold_bp}
+        ),
+        edges AS (SELECT fa AS src, fb AS dst FROM verified
+                  UNION SELECT fb, fa FROM verified),
+        reach(a, b) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        ),
+        members AS (SELECT a AS norm, min(b) AS cl FROM reach GROUP BY a),
+        reps AS (SELECT cl, norm AS rep FROM (
+                   SELECT cl, norm, row_number() OVER (
+                     PARTITION BY cl ORDER BY length(norm) DESC, norm) AS rk
+                   FROM members) WHERE rk = 1),
+        canon AS (SELECT f.norm,
+                         replace(coalesce(r.rep, f.norm), ' ', '_') AS canonical_id
+                  FROM forms f
+                  LEFT JOIN members mb ON f.norm = mb.norm
+                  LEFT JOIN reps r ON mb.cl = r.cl)
+        SELECT rn.surface, coalesce(c.canonical_id, rn.norm) AS canonical_id
+        FROM rn LEFT JOIN canon c ON rn.norm = c.norm
+    """
+
+
 _M32 = 4294967295
 
 
@@ -1317,6 +1422,7 @@ def _summary_bloom_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_entity_link": _entity_link_oracle(),
+        "kg_canonical_mapping": _canonical_mapping_oracle(),
         "matcher_term_value": _matcher_term_value_oracle(),
         "summary_bloom": _summary_bloom_oracle(),
         "frag_subject": f"""

@@ -296,8 +296,12 @@ def cosine_topk_ivf(
     )
     # Init = the n_centroids lowest-id vectors. sort().limit(K) compiles to
     # TakeOrderedAndProject — a per-partition top-K merged on the driver —
-    # so no corpus-wide single-partition Sort/Window ever runs. The cid
-    # ranking window below operates on the K checkpointed rows only.
+    # so no corpus-wide single-partition Sort/Window ever runs. Ranking the
+    # K checkpointed seed rows into cids uses an explicit one-partition
+    # sort + monotonically_increasing_id (0..K-1 in row order within the
+    # single partition) instead of a global row_number window: same result,
+    # no WindowExec at all (Spark folds constant partition keys, so even
+    # Window.partitionBy(lit(0)) would plan — and warn — as unpartitioned).
     seed = (
         qc.select("vid", "qvec")
         .sort("vid")
@@ -305,8 +309,10 @@ def cosine_topk_ivf(
         .localCheckpoint(eager=True)
     )
     centroids = (
-        seed.withColumn("__rn", F.row_number().over(Window.orderBy("vid")))
-        .select((F.col("__rn") - 1).alias("cid"), F.col("qvec").alias("cvec"))
+        seed.coalesce(1)
+        .sortWithinPartitions("vid")
+        .withColumn("cid", F.monotonically_increasing_id())
+        .select("cid", F.col("qvec").alias("cvec"))
         .localCheckpoint(eager=True)
     )
     members = qc.select("vid", "qvec")
