@@ -352,9 +352,11 @@ def sink_csv(
     cols = [F.col(TERM_COLUMNS[c][0]).alias(c) for c in columns]
     # file: URIs are local — collapse to the plain path so the driver-side
     # merge below globs/opens the real filesystem location, not './file:…'
-    m = re.match(r"^file:(//[^/]*)?(/.*)$", path, re.IGNORECASE)
-    if m:
-        path = m.group(2)
+    from rdf_dataset_fragmenter_js_spark.sources.driverfile import (
+        local_path_of_file_uri,
+    )
+
+    path = local_path_of_file_uri(path) or path
     if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", path) and not path.startswith("file:"):
         # non-local destination: the driver can't merge part files — keep
         # the reference's one-file shape via a single write task (unguarded;

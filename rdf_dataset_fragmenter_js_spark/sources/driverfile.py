@@ -48,14 +48,20 @@ _REMOTE_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
 
 
 def expand_paths(
-    path: str, extensions: tuple[str, ...], spark=None
+    path: str | list[str], extensions: tuple[str, ...], spark=None
 ) -> list[str]:
     """One file path, a glob, or a directory → ordered concrete file list
     (keeps the N-Quads reader's glob/directory ergonomics for the
     driver-side formats). Local paths expand via the OS; scheme-qualified
     paths (hdfs://, s3a://, …) via the Hadoop FileSystem API when a
     ``spark`` session is given — the 100 TB inputs are not on the driver's
-    local disk."""
+    local disk. A list short-circuits: it is the concrete file list an
+    earlier step (read_rdf's format sniff) already obtained from the same
+    listing machinery, so the remote filesystem isn't listed twice."""
+    if isinstance(path, (list, tuple)):
+        if not path:
+            raise FileNotFoundError("empty pre-expanded file list")
+        return list(path)
     if _REMOTE_SCHEME.match(path) and not path.startswith("file:"):
         if spark is None:
             raise ValueError(
@@ -144,6 +150,18 @@ def _strip_file_scheme(uri: str) -> str:
     return uri
 
 
+_FILE_URI = re.compile(r"^file:(//[^/]*)?(/.*)$", re.IGNORECASE)
+
+
+def local_path_of_file_uri(path_or_uri: str) -> str | None:
+    """``file:/p`` / ``file:///p`` / ``file://host/p`` → ``/p``; ``None``
+    when the input is not a file: URI of that shape. The single home of
+    the file-URI→local-path collapse (sources match wholeTextFiles keys
+    with it, the CSV sink locates its merge directory with it)."""
+    m = _FILE_URI.match(path_or_uri)
+    return m.group(2) if m else None
+
+
 def _path_key(path_or_uri: str) -> str:
     """Normalize a path for matching the enumerated file list against
     ``wholeTextFiles`` keys. Only the ``file:`` scheme's authority-less vs
@@ -151,9 +169,9 @@ def _path_key(path_or_uri: str) -> str:
     keeps ``scheme://authority`` — two equal paths on DIFFERENT remote
     filesystems/authorities must stay distinct keys (else rows get the
     wrong file index → wrong bnode prefix and seq offsets)."""
-    m = re.match(r"^file:(//[^/]*)?(/.*)$", path_or_uri, re.IGNORECASE)
-    if m:
-        return m.group(2)
+    local = local_path_of_file_uri(path_or_uri)
+    if local is not None:
+        return local
     if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", path_or_uri):
         return path_or_uri
     return os.path.abspath(path_or_uri)

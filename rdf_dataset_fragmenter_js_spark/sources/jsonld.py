@@ -371,8 +371,13 @@ class _Parser:
                         raise ValueError(
                             f"@language map values must be strings, got {v!r}"
                         )
+                    # the expansion algorithm lowercases language-map keys
+                    # (JSON-LD 1.1 §expansion, language map step) — an
+                    # 'EN-US' key must come out as the 'en-us' tag
                     out.append(
-                        {"@value": v} if k == "@none" else {"@value": v, "@language": k}
+                        {"@value": v}
+                        if k == "@none"
+                        else {"@value": v, "@language": k.lower()}
                     )
                 elif container == "@id":
                     if isinstance(v, str):

@@ -150,14 +150,31 @@ def read_nquads(spark: SparkSession, path: str, base_iri: str | None = None) -> 
     return df
 
 
-def _sniff_format(path: str, spark: SparkSession | None = None) -> str:
+def _sniff_format(
+    path: str,
+    spark: SparkSession | None = None,
+    on_empty: str = "default",
+    return_names: bool = False,
+):
     """Classify a path (file, glob, or directory) by the extension(s) of
     the file(s) it targets: 'nquads' | 'turtle' | 'rdfxml' | 'jsonld'.
 
     Scheme-qualified paths (hdfs://, s3a://, …) are listed through the same
     Hadoop FileSystem machinery the readers use (sources/driverfile.py) —
     probing the DRIVER's local filesystem for them would silently classify
-    a remote .ttl directory as 'nquads' and drop every line as malformed."""
+    a remote .ttl directory as 'nquads' and drop every line as malformed.
+
+    ``on_empty``: what to do when the target has NO files to sniff (missing
+    extension-less path, empty directory): ``"default"`` falls back to
+    N-Quads — harmless for a one-shot batch read, which then just produces
+    zero rows — while ``"raise"`` (the streaming runner) raises
+    FileNotFoundError, because a stream fixes its reader at start and a
+    wrong guess would silently drop every later-arriving parsed-format file.
+
+    ``return_names=True`` returns ``(format, names_or_None)`` where names
+    is the concrete remote file list when a Hadoop listing was performed —
+    callers pass it to the reader so object-store directories aren't listed
+    twice (a second globStatus/listStatus round-trip per read)."""
     import glob as _glob
     import os
     import re as _re
@@ -178,9 +195,13 @@ def _sniff_format(path: str, spark: SparkSession | None = None) -> str:
             return "nquads"
         return None
 
+    def done(fmt: str, names=None):
+        return (fmt, names) if return_names else fmt
+
     direct = classify(path)
     if direct:
-        return direct
+        return done(direct)
+    listed_remote = False
     if _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", path) and not path.startswith("file:"):
         from rdf_dataset_fragmenter_js_spark.sources.driverfile import _expand_hadoop
 
@@ -196,22 +217,28 @@ def _sniff_format(path: str, spark: SparkSession | None = None) -> str:
         )
         names = _expand_hadoop(spark, path, all_ext)  # raises on zero matches
         if names == [path]:
-            return "nquads"  # extension-less single remote file: reference default
+            return done("nquads")  # extension-less single remote file: reference default
+        listed_remote = True
     elif any(c in path for c in "*?["):
         names = _glob.glob(path)
         if not names:
             raise FileNotFoundError(f"no files match {path!r}")
     elif os.path.isdir(path):
         names = [os.path.join(path, f) for f in os.listdir(path)]
+        if not names and on_empty == "raise":
+            raise FileNotFoundError(f"{path!r} is a directory with no files yet")
     else:
-        return "nquads"  # extension-less single file: reference default
+        if on_empty == "raise":
+            raise FileNotFoundError(f"{path!r} does not exist yet")
+        return done("nquads")  # extension-less single file: reference default
     kinds = {k for k in (classify(n) for n in names) if k}
     if len(kinds) > 1:
         raise ValueError(
             f"QuadSourceFile: {path!r} mixes RDF serializations {sorted(kinds)} — "
             "read each format separately and union with composite_source"
         )
-    return kinds.pop() if kinds else "nquads"
+    fmt = kinds.pop() if kinds else "nquads"
+    return done(fmt, names if listed_remote else None)
 
 
 def read_rdf(spark: SparkSession, path: str, base_iri: str | None = None) -> DataFrame:
@@ -221,27 +248,33 @@ def read_rdf(spark: SparkSession, path: str, base_iri: str | None = None) -> Dat
     and JSON-LD → per-file parsers (driver for one file, distributed over
     executors for globs/directories — sources/driverfile.py). Directory and
     glob paths dispatch on the extensions of the files they match."""
-    fmt = _sniff_format(path, spark)
+    fmt, names = _sniff_format(path, spark, return_names=True)
+    # when classification already paid a remote (Hadoop FS) listing, hand
+    # the concrete file list to the reader — expand_paths short-circuits on
+    # a list, so an object-store directory is listed exactly once per read
+    src = names if names is not None else path
     if fmt == "turtle":
         from rdf_dataset_fragmenter_js_spark.sources.turtle import read_turtle
 
-        return read_turtle(spark, path, base_iri=base_iri)
+        return read_turtle(spark, src, base_iri=base_iri)
     if fmt == "rdfxml":
         from rdf_dataset_fragmenter_js_spark.sources.rdfxml import read_rdfxml
 
-        return read_rdfxml(spark, path, base_iri=base_iri)
+        return read_rdfxml(spark, src, base_iri=base_iri)
     if fmt == "jsonld":
         from rdf_dataset_fragmenter_js_spark.sources.jsonld import read_jsonld
 
-        return read_jsonld(spark, path, base_iri=base_iri)
+        return read_jsonld(spark, src, base_iri=base_iri)
     if fmt == "n3":
         from rdf_dataset_fragmenter_js_spark.sources.turtle import read_n3
 
-        return read_n3(spark, path, base_iri=base_iri)
+        return read_n3(spark, src, base_iri=base_iri)
     if fmt == "rdfa":
         from rdf_dataset_fragmenter_js_spark.sources.rdfa import read_rdfa
 
-        return read_rdfa(spark, path, base_iri=base_iri)
+        return read_rdfa(spark, src, base_iri=base_iri)
+    # the vectorized line reader delegates globbing to spark.read.text —
+    # no driver-side listing to deduplicate
     return read_nquads(spark, path, base_iri=base_iri)
 
 

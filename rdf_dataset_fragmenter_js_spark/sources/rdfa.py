@@ -147,8 +147,13 @@ class _RdfaParser(QuadHtmlParser):
         for k, v in attrs:
             if v is not None and k not in a:  # first wins, like browsers
                 a[k] = v
+        # the fail-fast must see valueless (bare) attributes too: @inlist
+        # is DEFINED by presence ('<span property="p" inlist>') and a bare
+        # @rel/@rev still switches processing rules — checking only the
+        # value-carrying dict would silently mis-parse those documents
+        present = {k for k, _ in attrs}
         for bad in _UNSUPPORTED_ATTRS:
-            if bad in a:
+            if bad in present:
                 raise NotImplementedError(
                     f"RDFa attribute @{bad} (chaining/list semantics) is "
                     "outside the RDFa Lite subset this engine parses"
@@ -222,9 +227,18 @@ class _RdfaParser(QuadHtmlParser):
                     self._emit(typed, RDF_NS + "type", ("NamedNode", t))
                 scope.subject = typed
             elif explicit_res is not None:
+                # reaching here types is non-empty only with @about present
+                # (typeof without @about took the typed-object branch), and
+                # RDFa Core types the @about resource in that case
+                for t in types:
+                    self._emit(subject, RDF_NS + "type", ("NamedNode", t))
                 for p in props:
                     self._emit(subject, p, explicit_res)
-                scope.subject = subject
+                # @resource/@href/@src with @property is the current object
+                # resource — RDFa Core 7.5 step 6 makes it the new subject
+                # for descendants (<div about=s property=knows resource=o>
+                # <span property=name> describes o, not s)
+                scope.subject = explicit_res
             else:
                 if types:  # typeof with about: type the subject itself
                     for t in types:

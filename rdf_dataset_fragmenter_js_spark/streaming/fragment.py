@@ -40,17 +40,25 @@ def _classify_child(path: str, spark: SparkSession) -> str:
     batch sniffer — which lists remote (hdfs://, s3a://) paths through
     Hadoop's FileSystem — so a remote directory of ``.ttl`` files can
     never silently fall through to the line reader and drop every quad.
-    Only a target that does not exist YET (an append directory created by
-    the producer later) defaults to N-Quads, the reference's default
-    serialization."""
+
+    A target with NO files yet (missing path, empty or pre-created append
+    directory, zero-match glob) is a hard error, NOT an N-Quads default: a
+    stream fixes its reader at start, so guessing wrong here would silently
+    drop every parsed-format file the producer writes later. An
+    extension-qualified glob (``dir/*.nq``, ``dir/*.ttl``) classifies
+    directly from the pattern and needs no files to exist."""
     from rdf_dataset_fragmenter_js_spark.sources.nquads import _sniff_format
 
     base = path.rstrip("/")
     try:
-        return _sniff_format(base, spark)
-    except FileNotFoundError:
-        # empty-now append directory / glob matching nothing yet
-        return "nquads"
+        return _sniff_format(base, spark, on_empty="raise")
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"stream source {path!r} has no files yet to classify, and a "
+            "stream cannot change its reader after start — use an "
+            "extension-qualified path or glob (e.g. dir/*.nq or dir/*.ttl) "
+            "so the serialization is explicit before files arrive"
+        ) from e
 
 from rdf_dataset_fragmenter_js_spark.plans.pipeline import (
     build_strategy,

@@ -354,9 +354,8 @@ def test_sniff_remote_path_needs_spark():
 
 
 def test_sniff_remote_dir_via_hadoop(spark, tmp_path):
-    """With a session, remote-style paths classify through the Hadoop FS
-    listing (file: scheme drives the same API as hdfs://, but is handled
-    by the local branch — use the Hadoop branch via a mocked check)."""
+    """Extension-qualified remote paths classify from the pattern alone;
+    zero-match local globs fail fast."""
     from rdf_dataset_fragmenter_js_spark.sources.nquads import _sniff_format
 
     d = tmp_path / "remote_ttls"
@@ -367,6 +366,74 @@ def test_sniff_remote_dir_via_hadoop(spark, tmp_path):
     # zero-match local glob fails fast instead of parsing nothing as nquads
     with pytest.raises(FileNotFoundError):
         _sniff_format(str(tmp_path / "nope" / "*.xyz"), None)
+
+
+def test_sniff_remote_listing_branch(monkeypatch):
+    """The Hadoop-listing classification branch itself (extension-less
+    hdfs:// directory), exercised via a mocked _expand_hadoop: .ttl
+    children classify as turtle WITH the listing handed back for reuse,
+    a single extension-less remote file defaults to nquads, and mixed
+    serializations fail fast."""
+    from rdf_dataset_fragmenter_js_spark.sources import driverfile
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import _sniff_format
+
+    listings = {}
+
+    def fake_expand(spark, path, extensions):
+        listings["calls"] = listings.get("calls", 0) + 1
+        return listings["files"]
+
+    monkeypatch.setattr(driverfile, "_expand_hadoop", fake_expand)
+    dummy_spark = object()
+
+    listings["files"] = ["hdfs://nn/data/a.ttl", "hdfs://nn/data/b.ttl"]
+    fmt, names = _sniff_format("hdfs://nn/data", dummy_spark, return_names=True)
+    assert fmt == "turtle"
+    # the listing is returned so read_rdf can pass it to the reader —
+    # expand_paths short-circuits on a list (no second remote listing)
+    assert names == listings["files"]
+    assert driverfile.expand_paths(names, (".ttl",)) == listings["files"]
+
+    listings["files"] = ["hdfs://nn/blob"]  # names == [path] single file
+    assert _sniff_format("hdfs://nn/blob", dummy_spark) == "nquads"
+
+    listings["files"] = ["hdfs://nn/data/a.ttl", "hdfs://nn/data/b.nq"]
+    with pytest.raises(ValueError, match="mixes RDF serializations"):
+        _sniff_format("hdfs://nn/data", dummy_spark)
+
+
+def test_sniff_empty_targets_raise_for_streaming(tmp_path):
+    """on_empty='raise' (the streaming runner's mode): an existing-but-empty
+    directory and a missing extension-less path both raise instead of
+    defaulting to the silently-lossy N-Quads line reader; batch mode keeps
+    the harmless default."""
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import _sniff_format
+
+    empty = tmp_path / "landing"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no files yet"):
+        _sniff_format(str(empty), None, on_empty="raise")
+    with pytest.raises(FileNotFoundError, match="does not exist yet"):
+        _sniff_format(str(tmp_path / "missing"), None, on_empty="raise")
+    # batch default unchanged: empty/missing → nquads (a one-shot read of
+    # nothing is just zero rows)
+    assert _sniff_format(str(empty), None) == "nquads"
+    assert _sniff_format(str(tmp_path / "missing"), None) == "nquads"
+
+
+def test_stream_classify_empty_dir_fails_fast(spark, tmp_path):
+    """A pre-created empty landing directory must be rejected at stream
+    start (a stream cannot re-pick its reader when .ttl files arrive
+    later); the error names the extension-qualified-glob escape hatch."""
+    from rdf_dataset_fragmenter_js_spark.streaming.fragment import _classify_child
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with pytest.raises(ValueError, match="extension-qualified"):
+        _classify_child(str(landing), spark)
+    # an extension-qualified glob over the same empty directory is fine
+    assert _classify_child(str(landing / "*.ttl"), spark) == "turtle"
+    assert _classify_child(str(landing / "*.nq"), spark) == "nquads"
 
 
 def test_comma_path_rejected(spark, tmp_path):

@@ -150,6 +150,19 @@ def test_language_container_map():
     assert vals == {("tree", "en"), ("Baum", "de"), ("Strauch", "de"), ("X", None)}
 
 
+def test_language_map_keys_lowercased():
+    """The expansion algorithm lowercases language-map KEYS — 'EN-US' must
+    come out as the 'en-us' tag (exact-value parity with the reference
+    parser's toRDF output)."""
+    rows = parse_jsonld(
+        '{"@context": {"label": {"@id": "http://ex.org/label",'
+        ' "@container": "@language"}},'
+        ' "@id": "http://ex.org/s",'
+        ' "label": {"EN-US": "tree"}}'
+    )
+    assert {(q[4], q[6]) for q in rows} == {("tree", "en-us")}
+
+
 def test_id_and_type_container_maps():
     rows = parse_jsonld(
         '{"@context": {"ex": "http://ex.org/",'

@@ -129,3 +129,34 @@ def test_base_after_meta_rebases_emitted_quads():
     )
     rows = parse_rdfa(html, base_iri=B)
     assert {r[1] for r in rows} == {"http://moved.org/doc"}
+
+
+def test_bare_unsupported_attr_fails_fast():
+    """@inlist is defined by PRESENCE (valueless) — the fail-fast must see
+    bare attributes, not only value-carrying ones."""
+    with pytest.raises(NotImplementedError, match="@inlist"):
+        parse_rdfa(
+            '<div vocab="http://schema.org/" about="http://ex.org/s">'
+            '<span property="name" inlist>A</span></div>',
+            base_iri=B,
+        )
+    with pytest.raises(NotImplementedError, match="@rel"):
+        parse_rdfa('<a rel href="http://n.org/">n</a>', base_iri=B)
+
+
+def test_typeof_with_about_property_and_resource():
+    """@about + @typeof + @property + @resource: RDFa Core types the @about
+    resource AND the object resource becomes the new subject for
+    descendants (7.5 step 6)."""
+    rows = parse_rdfa(
+        '<div vocab="http://schema.org/" about="http://ex.org/s"'
+        ' typeof="Person" property="knows" resource="http://ex.org/o">'
+        '<span property="name">N</span></div>',
+        base_iri=B,
+    )
+    triples = {(r[1], r[2], r[4]) for r in rows}
+    assert triples == {
+        ("http://ex.org/s", RDF_NS + "type", S + "Person"),
+        ("http://ex.org/s", S + "knows", "http://ex.org/o"),
+        ("http://ex.org/o", S + "name", "N"),
+    }
