@@ -31,13 +31,22 @@ def main(argv: list[str]) -> int:
     from rdf_dataset_fragmenter_js_spark.plans.pipeline import run_pipeline_spec
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("rdf-dataset-fragmenter-js-spark")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .getOrCreate()
-    )
+    builder = SparkSession.builder.appName("rdf-dataset-fragmenter-js-spark")
+    # only default to local mode when no master was provided externally:
+    # under `spark-submit --master yarn/k8s --py-files …` (the north rule's
+    # deployment shape) spark.master arrives via the driver JVM's system
+    # properties — spark-submit's PythonRunner marks that by exporting
+    # PYSPARK_GATEWAY_PORT — and forcing local[N] here would silently turn
+    # the cluster job single-node. SPARK_GRAFT_MASTER overrides explicitly.
+    master_env = os.environ.get("SPARK_GRAFT_MASTER")
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master_env:
+        builder = builder.master(master_env)
+    elif not under_submit:
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.sql.shuffle.partitions", str(max(int(cpus), 8))
+        )
+    spark = builder.config("spark.sql.adaptive.enabled", "true").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try:
         run_pipeline_spec(spark, config_path, output_dir)
