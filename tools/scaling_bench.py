@@ -150,7 +150,17 @@ def main():
         f"{hw[f'{lo}->{hi}']['host_capacity_efficiency']:.2f} |"
         for lo, hi in pairs
     )
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # Rewrite ONLY the scaling section (everything up to the first "## "
+    # heading); later sections (A/B tables, variance history, distributed-
+    # path timings) are appended by other tools/rounds and must survive.
+    bench_path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        cut = old.find("\n## ")
+        if cut != -1:
+            tail = old[cut:]
+    with open(bench_path, "w") as f:
         f.write(
             f"""# BENCH — measured throughput & scaling evidence
 
@@ -189,6 +199,7 @@ Distributed-path timings: see the section below (if present), produced by
 `python tools/distributed_paths_bench.py`.
 """
         )
+        f.write(tail)
     print("wrote BENCH.md")
 
 
