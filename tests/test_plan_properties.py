@@ -55,6 +55,9 @@ def test_no_cartesian_products_anywhere(spark, queries):
         "sim_embedding_near_dups",
         "kg_entity_link",
         "frag_resource_object",
+        # distributed canonicalization: candidate pairs must come from the
+        # token-block equi-join, never an all-pairs form×form product
+        "kg_canonical_mapping",
     ):
         plan = plan_of(queries[name](spark, SF))
         assert "CartesianProduct" not in plan, name
