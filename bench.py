@@ -99,7 +99,12 @@ def kg_throughput(spark, sf: float) -> tuple[float, int, float]:
     spark.catalog.clearCache()
     out = tempfile.mkdtemp(prefix="kg_bench_frags_")
     t0 = time.time()
-    frag_metrics = fragment_and_write(build_quads(pages), out)
+    # skew_salt=4: this corpus's fragment keys are the closed canonical-
+    # entity pool (all hot), where salt=4 measured 1.77x faster than the
+    # safe default salt=1 and salt=8 over-shards (BENCH.md "Skew A/B",
+    # tools/skew_bench.py) — the knob applied exactly as a cluster user
+    # would tune it for a known-skewed corpus.
+    frag_metrics = fragment_and_write(build_quads(pages), out, skew_salt=4)
     frag_sec = time.time() - t0
     frag_metrics["total_sec"] = round(frag_sec, 3)
     return (n_triples / sec if sec > 0 else 0.0, n_triples, sec, frag_metrics)

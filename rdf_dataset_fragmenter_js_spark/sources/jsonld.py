@@ -516,6 +516,19 @@ def parse_jsonld(
     return p.quads
 
 
+def parse_jsonld_documents(
+    texts: list[str], base_iri: str | None = None, contexts: dict | None = None
+) -> list[tuple]:
+    """Parse several JSON-LD documents as ONE merged document — a shared
+    blank-node label scope across all of them, exactly the JSON-LD-in-HTML
+    ``extractAllScripts`` shape (spec: multiple ``<script>`` data islands
+    are processed as if concatenated into a single top-level array)."""
+    p = _Parser(base_iri, contexts=contexts)
+    for t in texts:
+        p.process_document(json.loads(t))
+    return p.quads
+
+
 def serialize_jsonld(rows: list[tuple]) -> str:
     """Quad tuples → an expanded-form JSON-LD document (one node object
     per quad; named graphs become ``{"@id": g, "@graph": [...]}``

@@ -15,7 +15,12 @@ Coverage — RDFa 1.1 **Lite** plus the attributes real markup leans on:
   element's text content as a plain literal (``lang`` inherited);
 * ``datatype=``, and HTML5 ``<time datetime=>`` with the spec's lexical
   datatype inference (xsd:date/dateTime/time/gYear/gYearMonth/duration);
-* ``<base href>`` overriding the document base IRI.
+* ``<base href>`` overriding the document base IRI;
+* JSON-LD data islands (``<script type="application/ld+json">``, JSON-LD
+  1.1 §HTML content) — rdf-parse's ``text/html`` route emits these
+  alongside the RDFa annotations, extractAllScripts semantics: all islands
+  form one merged document (shared authored-bnode scope), disjoint from
+  the RDFa blank-node scope.
 
 RDFa Core features OUTSIDE this subset fail fast with the offending
 attribute rather than silently mis-parse: ``rel`` / ``rev`` (chaining +
@@ -27,6 +32,7 @@ spec's term-expansion failure, not errors.
 from __future__ import annotations
 
 import re
+from html.parser import HTMLParser
 
 from rdf_dataset_fragmenter_js_spark.sources._htmlbase import (
     ABSOLUTE_IRI as _ABSOLUTE_IRI,
@@ -285,13 +291,84 @@ class _RdfaParser(QuadHtmlParser):
         scope.literal = None
 
 
-def parse_rdfa(text: str, base_iri: str | None = None) -> list[tuple]:
+class _JsonLdIslandFinder(HTMLParser):
+    """Collect the raw text of ``<script type="application/ld+json">``
+    elements. ``html.parser`` switches to CDATA mode inside ``script``, so
+    the island body arrives verbatim via ``handle_data``."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self._in_island = False
+        self._buf: list[str] = []
+        self.islands: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "script":
+            mime = (dict(attrs).get("type") or "").strip().lower()
+            if mime == "application/ld+json":
+                self._in_island = True
+                self._buf = []
+
+    def handle_data(self, data):
+        if self._in_island:
+            self._buf.append(data)
+
+    def handle_endtag(self, tag):
+        if tag == "script" and self._in_island:
+            self._in_island = False
+            self.islands.append("".join(self._buf))
+
+
+def _parse_jsonld_islands(
+    text: str, base_iri: str | None, seq_start: int
+) -> list[tuple]:
+    from rdf_dataset_fragmenter_js_spark.sources.jsonld import (
+        parse_jsonld_documents,
+    )
+
+    finder = _JsonLdIslandFinder()
+    finder.feed(text)
+    finder.close()
+    docs = [i for i in finder.islands if i.strip()]
+    if not docs:
+        return []
+    out = []
+    for i, q in enumerate(parse_jsonld_documents(docs, base_iri=base_iri)):
+        s_type, s, p, o_type, o, dt, lang, g, _seq = q
+        # The JSON-LD islands and the RDFa annotations are separate
+        # serializations sharing one file, so their blank-node scopes are
+        # DISJOINT (RDF Concepts: labels are document-scoped per parser —
+        # rdf-parse gives each sub-parser its own bnode factory). RDFa-side
+        # labels start with 'b_'/'genid_rdfa_'/'genid_html_'; prefixing the
+        # island side with 'json_' keeps the namespaces provably disjoint
+        # while staying PN_CHARS-legal.
+        if s_type == "BlankNode":
+            s = "json_" + s
+        if o_type == "BlankNode":
+            o = "json_" + o
+        out.append((s_type, s, p, o_type, o, dt, lang, g, seq_start + i))
+    return out
+
+
+def parse_rdfa(
+    text: str, base_iri: str | None = None, extract_script_jsonld: bool = True
+) -> list[tuple]:
     """Parse RDFa-annotated (X)HTML → quad tuples in the engine schema
-    (s_type, s, p, o_type, o, o_datatype, o_lang, g, seq)."""
+    (s_type, s, p, o_type, o, o_datatype, o_lang, g, seq).
+
+    Like rdf-parse's ``text/html`` route, the HTML surface yields BOTH the
+    RDFa annotations and any JSON-LD data islands
+    (``<script type="application/ld+json">``, JSON-LD 1.1 §HTML content,
+    extractAllScripts semantics: all islands form one merged document with
+    a shared authored-bnode scope). ``extract_script_jsonld=False`` gives
+    annotations only."""
     p = _RdfaParser(base_iri)
     p.feed(text)
     p.close()
-    return p.quads
+    quads = p.quads
+    if extract_script_jsonld:
+        quads = quads + _parse_jsonld_islands(text, base_iri, len(quads))
+    return quads
 
 
 def serialize_rdfa(rows: list[tuple]) -> str:

@@ -160,3 +160,47 @@ def test_typeof_with_about_property_and_resource():
         ("http://ex.org/s", S + "knows", "http://ex.org/o"),
         ("http://ex.org/o", S + "name", "N"),
     }
+
+
+def test_jsonld_script_islands_merge_with_annotations():
+    """rdf-parse's text/html route yields BOTH the RDFa annotations and any
+    JSON-LD data islands (JSON-LD 1.1 §HTML content, extractAllScripts):
+    islands share ONE authored-bnode scope with each other but are DISJOINT
+    from the RDFa scope; non-ld+json scripts are ignored."""
+    html = (
+        "<html><head>"
+        '<script type="application/ld+json">'
+        '{"@id": "_:x", "http://schema.org/name": "Island"}'
+        "</script>"
+        '<script type="application/ld+json">'
+        '{"@id": "_:x", "http://schema.org/age":'
+        ' {"@value": "30", "@type": "http://www.w3.org/2001/XMLSchema#integer"}}'
+        "</script>"
+        '<script type="text/javascript">var ld = "{}";</script>'
+        "</head><body>"
+        '<link about="_:x" property="http://schema.org/seeAlso"'
+        ' resource="http://ex.org/more">'
+        "</body></html>"
+    )
+    rows = parse_rdfa(html, base_iri=B)
+    by_subj = {}
+    for r in rows:
+        by_subj.setdefault(r[1], set()).add(r[2])
+    # RDFa-scope _:x and island-scope _:x are different blank nodes...
+    assert by_subj["b_x"] == {S + "seeAlso"}
+    # ...while the two islands share one scope (same subject label)
+    assert by_subj["json_b_x"] == {S + "name", S + "age"}
+    # seq stays dense and ordered (annotations first, then islands)
+    assert [r[8] for r in rows] == list(range(len(rows)))
+    # opt-out gives annotations only
+    assert len(parse_rdfa(html, base_iri=B, extract_script_jsonld=False)) == 1
+
+
+def test_jsonld_script_island_malformed_json_fails_fast():
+    """Invalid island JSON is a documented loading error (ValueError via
+    json.JSONDecodeError), not a silent drop."""
+    with pytest.raises(ValueError):
+        parse_rdfa(
+            '<script type="application/ld+json">{not json}</script>',
+            base_iri=B,
+        )
