@@ -421,6 +421,38 @@ def q_source_rdfa_roundtrip(spark, sf_dir):
     )
 
 
+def q_source_html_islands(spark, sf_dir):
+    """HTML dual-surface e2e (rdf-parse text/html parity): each .html file
+    carries HALF its quads as RDFa annotations and HALF as a JSON-LD data
+    island (<script type="application/ld+json">, JSON-LD 1.1 §HTML
+    content) — read_rdf's .html route must emit the union
+    (sources/rdfa.py:parse_rdfa, extract_script_jsonld)."""
+    import os
+    import tempfile
+
+    from rdf_dataset_fragmenter_js_spark.sources.jsonld import serialize_jsonld
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import read_rdf
+    from rdf_dataset_fragmenter_js_spark.sources.rdfa import serialize_rdfa
+
+    rows = [tuple(r) for r in TD.order_quads(spark, sf_dir).collect()]
+    tmp = tempfile.mkdtemp(prefix="html_isl_")
+    n_files = 4
+    for i in range(n_files):
+        part = rows[i::n_files]
+        html = serialize_rdfa(part[0::2])
+        island = serialize_jsonld(part[1::2])
+        html = html.replace(
+            "</body></html>",
+            f'<script type="application/ld+json">{island}</script>'
+            "</body></html>",
+        )
+        with open(os.path.join(tmp, f"part{i}.html"), "w") as f:
+            f.write(html)
+    return read_rdf(spark, tmp).select(
+        "s_type", "s", "p", "o_type", "o", "o_datatype", "o_lang"
+    )
+
+
 def q_source_microdata_roundtrip(spark, sf_dir):
     """Microdata source e2e: the order quads rendered as itemscope/itemid
     markup across 4 .html files, read back through read_microdata (the
@@ -878,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_turtle_multifile": q_source_turtle_multifile,
         "source_trig_roundtrip": q_source_trig_roundtrip,
         "source_rdfa_roundtrip": q_source_rdfa_roundtrip,
+        "source_html_islands": q_source_html_islands,
         "source_n3_roundtrip": q_source_n3_roundtrip,
         "source_microdata_roundtrip": q_source_microdata_roundtrip,
         "streaming_pipeline": q_streaming_pipeline,
@@ -1667,6 +1700,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
         """,
         "source_n3_roundtrip": f"""
+            WITH quads AS ({_ORDER_QUADS})
+            SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
+        """,
+        "source_html_islands": f"""
             WITH quads AS ({_ORDER_QUADS})
             SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
         """,
