@@ -211,6 +211,9 @@ class _Parser:
     # -- IRI expansion -----------------------------------------------------
 
     def _expand_iri(self, value: str, ctx: _Context, vocab: bool) -> str:
+        if not isinstance(value, str):
+            # spec: @type entries / term mappings must be strings
+            raise ValueError(f"expected an IRI/term string, got {value!r}")
         if value.startswith("@"):
             return value
         if value.startswith("_:"):
@@ -235,6 +238,9 @@ class _Parser:
     def _subject_term(self, identifier: str | None, ctx: _Context) -> tuple[str, str]:
         if identifier is None:
             return ("BlankNode", self._fresh_bnode())
+        if not isinstance(identifier, str):
+            # spec: an @id value must be a string (invalid-@id-value error)
+            raise ValueError(f"@id must be a string, got {identifier!r}")
         if identifier.startswith("_:"):
             label = identifier[2:]
             # relabel to PN_CHARS-safe, collision-free space shared with

@@ -559,3 +559,42 @@ def test_n3_parser_never_crashes_unexpectedly(doc):
     except (NotImplementedError, ValueError):
         return
     assert isinstance(rows, list)
+
+
+_JSON_VALUES = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-10, max_value=10)
+    | st.sampled_from(
+        ["@id", "@value", "@type", "@list", "@context", "@graph", "@language",
+         "_:b0", "http://ex.org/x", "en", "", "x"]
+    ),
+    lambda children: st.lists(children, max_size=3)
+    | st.dictionaries(
+        st.sampled_from(
+            ["@id", "@value", "@type", "@list", "@set", "@context", "@graph",
+             "@language", "@index", "@reverse", "@nest", "http://ex.org/p", "p"]
+        ),
+        children,
+        max_size=4,
+    ),
+    max_leaves=12,
+)
+
+
+@given(doc=_JSON_VALUES)
+@settings(max_examples=150, deadline=None)
+def test_jsonld_parser_never_crashes_unexpectedly(doc):
+    """parse_jsonld on arbitrary JSON shapes biased toward keyword soup
+    (mis-nested @value/@list/@context, null leaves, wrong value types)
+    either parses or raises the documented ValueError /
+    NotImplementedError — never an internal exception type."""
+    import json as _json
+
+    from rdf_dataset_fragmenter_js_spark.sources.jsonld import parse_jsonld
+
+    try:
+        rows = parse_jsonld(_json.dumps(doc))
+    except (NotImplementedError, ValueError):
+        return
+    assert isinstance(rows, list)
