@@ -22,10 +22,25 @@ Coverage — RDFa 1.1 **Lite** plus the attributes real markup leans on:
   form one merged document (shared authored-bnode scope), disjoint from
   the RDFa blank-node scope.
 
+* ``rel`` / ``rev`` **with an explicit resource on the same element**
+  (``resource`` / ``href`` / ``src``): exact RDFa Core §7.5 step-6
+  semantics — ``rel`` links subject→resource, ``rev`` the reverse, and
+  the object resource becomes the subject for descendants (chaining with
+  an explicit resource). ``typeof`` applies to ``about`` when present,
+  else to the object resource (the spec's *typed resource*). Term values
+  resolve like ``property`` (CURIE / absolute IRI / ``vocab``-scoped
+  NCName) plus the RDFa 1.1 initial-context term mappings
+  (``describedby`` / ``license`` / ``role``); plain HTML link relations
+  (``rel="stylesheet"``, ``rel="next"`` with no in-scope vocab) resolve
+  to no term and the attribute is ignored, per Core §7.4.3
+  term-expansion failure — they are HTML hyperlinks, not RDFa.
+
 RDFa Core features OUTSIDE this subset fail fast with the offending
-attribute rather than silently mis-parse: ``rel`` / ``rev`` (chaining +
-incomplete triples), ``inlist``, and ``role``. Unknown *terms* (a bare
-``property="foo"`` with no in-scope ``vocab``) are dropped like the
+attribute rather than silently mis-parse: a *hanging* ``rel`` / ``rev``
+(no resource on the element → incomplete-triple chaining), ``rel`` /
+``rev`` combined with ``property`` on one element (HTML+RDFa's
+property-copies-rel special case), and ``inlist``. Unknown *terms* (a
+bare ``property="foo"`` with no in-scope ``vocab``) are dropped like the
 spec's term-expansion failure, not errors.
 """
 
@@ -67,9 +82,18 @@ INITIAL_CONTEXT = {
     "xhv": "http://www.w3.org/1999/xhtml/vocab#",
 }
 
-_UNSUPPORTED_ATTRS = ("rel", "rev", "inlist")
+_UNSUPPORTED_ATTRS = ("inlist",)
 _PREFIX_DECL = re.compile(r"([A-Za-z][\w.\-]*):\s+(\S+)")
 _NCNAME = re.compile(r"^[A-Za-z_][\w.\-]*$")
+
+#: RDFa 1.1 initial-context TERM mappings (w3.org/2011/rdfa-context/
+#: rdfa-1.1) — resolved case-insensitively per Core §7.4.3, and checked
+#: BEFORE @vocab (local term mappings take precedence over vocab).
+_INITIAL_TERMS = {
+    "describedby": "http://www.w3.org/2007/05/powder-s#describedby",
+    "license": "http://www.w3.org/1999/xhtml/vocab#license",
+    "role": "http://www.w3.org/1999/xhtml/vocab#role",
+}
 
 #: HTML5 <time datetime=> lexical → xsd datatype (html-rdfa §3.1)
 _DATETIME_TYPES = (
@@ -146,6 +170,25 @@ class _RdfaParser(QuadHtmlParser):
                 out.append(iri)
         return out
 
+    def _link_terms(self, attr_value: str, scope: _Scope) -> list[str]:
+        """@rel/@rev items → IRIs. Initial-context term mappings win over
+        @vocab (Core §7.4.3); an item that resolves to no term (a plain
+        HTML link relation like ``stylesheet``) is dropped — a fully
+        unresolvable @rel/@rev means the attribute is ignored."""
+        out = []
+        for item in attr_value.split():
+            if ":" not in item and _NCNAME.match(item):
+                mapped = _INITIAL_TERMS.get(item.lower())
+                if mapped is not None:
+                    out.append(mapped)
+                elif scope.vocab:
+                    out.append(scope.vocab + item)
+                continue
+            iri = self._term_or_curie(item, scope)
+            if iri is not None:
+                out.append(iri)
+        return out
+
     # -- tree walk ---------------------------------------------------------
 
     def handle_starttag(self, tag, attrs):
@@ -154,9 +197,10 @@ class _RdfaParser(QuadHtmlParser):
             if v is not None and k not in a:  # first wins, like browsers
                 a[k] = v
         # the fail-fast must see valueless (bare) attributes too: @inlist
-        # is DEFINED by presence ('<span property="p" inlist>') and a bare
-        # @rel/@rev still switches processing rules — checking only the
-        # value-carrying dict would silently mis-parse those documents
+        # is DEFINED by presence ('<span property="p" inlist>') — checking
+        # only the value-carrying dict would silently mis-parse those
+        # documents. (A bare/valueless @rel resolves to zero terms and is
+        # ignored per Core §7.4.3 term-expansion failure, so it need not.)
         present = {k for k, _ in attrs}
         for bad in _UNSUPPORTED_ATTRS:
             if bad in present:
@@ -214,6 +258,39 @@ class _RdfaParser(QuadHtmlParser):
         datatype = None
         if "datatype" in a:
             datatype = self._term_or_curie(a["datatype"], scope) if a["datatype"] else None
+
+        rels = self._link_terms(a.get("rel") or "", scope)
+        revs = self._link_terms(a.get("rev") or "", scope)
+        if rels or revs:
+            # RDFa Core §7.5 step 6: @rel/@rev with an explicit resource.
+            if props:
+                raise NotImplementedError(
+                    "@rel/@rev combined with @property on one element "
+                    "(HTML+RDFa property-copies special case) is outside "
+                    "the subset this engine parses"
+                )
+            if explicit_res is None:
+                raise NotImplementedError(
+                    "hanging @rel/@rev (no @resource/@href/@src on the "
+                    "element → incomplete-triple chaining) is outside the "
+                    "subset this engine parses"
+                )
+            subject = about if about is not None else parent.subject
+            # the spec's *typed resource*: @about when present, else the
+            # current object resource (step 6's typeof placement)
+            typed = about if about is not None else explicit_res
+            for t in types:
+                self._emit(typed, RDF_NS + "type", ("NamedNode", t))
+            for r in rels:
+                self._emit(subject, r, explicit_res)
+            for r in revs:
+                self._emit(explicit_res, r, subject)
+            # current object resource becomes the subject for descendants
+            # (<div about=A rel=knows resource=B><span property=name>
+            # describes B) — same chaining rule as property+resource above
+            scope.subject = explicit_res
+            self._finish_starttag(tag, scope)
+            return
 
         if not props:
             subject = about or explicit_res or (self._fresh_bnode() if types else None)

@@ -99,10 +99,70 @@ def test_text_literal_includes_nested_text_and_recovers_unclosed_tags():
     assert kw[4].strip() == "spark"
 
 
-def test_bare_term_without_vocab_dropped_and_rel_fails_fast():
+def test_bare_term_without_vocab_dropped_and_html_link_rel_ignored():
     assert parse_rdfa('<span property="name">x</span>', base_iri=B) == []
-    with pytest.raises(NotImplementedError, match="@rel"):
-        parse_rdfa('<a rel="next" href="http://n.org/">n</a>', base_iri=B)
+    # rel="next" with no in-scope vocab is a plain HTML link relation —
+    # it resolves to no term and the attribute is ignored (Core §7.4.3
+    # term-expansion failure), not an error and not a triple
+    assert parse_rdfa('<a rel="next" href="http://n.org/">n</a>', base_iri=B) == []
+
+
+def test_rel_rev_with_explicit_resource():
+    html = (
+        '<div vocab="http://schema.org/" about="http://ex.org/a">'
+        '<a rel="knows" href="http://ex.org/b">B</a>'
+        '<link rev="parent" resource="http://ex.org/c">'
+        "</div>"
+    )
+    rows = {(r[1], r[2], r[4]) for r in parse_rdfa(html, base_iri=B)}
+    assert rows == {
+        ("http://ex.org/a", S + "knows", "http://ex.org/b"),
+        ("http://ex.org/c", S + "parent", "http://ex.org/a"),
+    }
+
+
+def test_rel_chaining_descendants_describe_object_resource():
+    html = (
+        '<div vocab="http://schema.org/" about="http://ex.org/a">'
+        '<div rel="knows" resource="http://ex.org/b" typeof="Person">'
+        '<span property="name">Bee</span></div></div>'
+    )
+    rows = {(r[1], r[2], r[4]) for r in parse_rdfa(html, base_iri=B)}
+    assert rows == {
+        ("http://ex.org/a", S + "knows", "http://ex.org/b"),
+        ("http://ex.org/b", RDF_NS + "type", S + "Person"),
+        ("http://ex.org/b", S + "name", "Bee"),
+    }
+
+
+def test_rel_initial_context_term_and_curie():
+    # 'license' is an RDFa 1.1 initial-context TERM (no vocab needed) and
+    # wins over @vocab; CURIEs resolve through in-scope prefixes as usual
+    html = (
+        '<div vocab="http://schema.org/" about="http://ex.org/a">'
+        '<a rel="license" href="http://ex.org/l">L</a>'
+        '<a rel="foaf:knows" href="http://ex.org/b">B</a></div>'
+    )
+    rows = {(r[1], r[2], r[4]) for r in parse_rdfa(html, base_iri=B)}
+    assert rows == {
+        ("http://ex.org/a", "http://www.w3.org/1999/xhtml/vocab#license", "http://ex.org/l"),
+        ("http://ex.org/a", "http://xmlns.com/foaf/0.1/knows", "http://ex.org/b"),
+    }
+
+
+def test_hanging_rel_and_rel_with_property_fail_fast():
+    with pytest.raises(NotImplementedError, match="hanging @rel"):
+        parse_rdfa(
+            '<div vocab="http://schema.org/" rel="knows">'
+            '<span about="http://ex.org/b">b</span></div>',
+            base_iri=B,
+        )
+    with pytest.raises(NotImplementedError, match="@rel/@rev combined"):
+        parse_rdfa(
+            '<div vocab="http://schema.org/">'
+            '<a rel="knows" property="url" href="http://ex.org/b">b</a></div>',
+            base_iri=B,
+        )
 
 
 def test_read_rdf_dispatches_html_e2e(spark, tmp_path):
@@ -140,8 +200,8 @@ def test_bare_unsupported_attr_fails_fast():
             '<span property="name" inlist>A</span></div>',
             base_iri=B,
         )
-    with pytest.raises(NotImplementedError, match="@rel"):
-        parse_rdfa('<a rel href="http://n.org/">n</a>', base_iri=B)
+    # a bare/valueless @rel resolves to zero terms → ignored, not an error
+    assert parse_rdfa('<a rel href="http://n.org/">n</a>', base_iri=B) == []
 
 
 def test_typeof_with_about_property_and_resource():
