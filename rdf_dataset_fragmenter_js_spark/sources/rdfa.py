@@ -451,7 +451,9 @@ def parse_rdfa(
 def serialize_rdfa(rows: list[tuple]) -> str:
     """Quad tuples → RDFa-annotated HTML (one ``meta``/``link`` element per
     quad: ``meta/@content`` for literals, ``link/@resource`` for IRI and
-    blank-node objects). Round-trips through :func:`parse_rdfa` —
+    blank-node objects — alternating ``property=`` / ``rel=`` on the links
+    so a round-trip exercises BOTH resource-object code paths in
+    :func:`parse_rdfa`). Round-trips through :func:`parse_rdfa` —
     property-tested; used by the ``source_rdfa_roundtrip`` gate entry.
     RDFa has no named-graph syntax, so quads with a graph are rejected."""
     import html as _html
@@ -463,6 +465,7 @@ def serialize_rdfa(rows: list[tuple]) -> str:
         return f"_:{value}" if t_type == "BlankNode" else value
 
     parts = ["<html><body>"]
+    n_links = 0
     for r in rows:
         s_type, s, p, o_type, o, dt, lang, g = r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7]
         if g is not None:
@@ -479,8 +482,12 @@ def serialize_rdfa(rows: list[tuple]) -> str:
                 f'<meta about="{about}" property="{prop}" content="{esc(o)}"{attrs}>'
             )
         else:
+            # alternate property=/rel= — an absolute-IRI @rel resolves
+            # identically, so the round-trip covers Core §7.5 step 6 too
+            link_attr = "rel" if n_links % 2 else "property"
+            n_links += 1
             parts.append(
-                f'<link about="{about}" property="{prop}" resource="{esc(ref(o_type, o))}">'
+                f'<link about="{about}" {link_attr}="{prop}" resource="{esc(ref(o_type, o))}">'
             )
     parts.append("</body></html>")
     return "\n".join(parts)
