@@ -881,6 +881,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # The driver's correctness snapshot has historically capped at ~50
+        # entries in dict-insertion order, so the least-recently-driver-checked
+        # entries (the LLM-data operators, skipped in CORRECTNESS_r04.json)
+        # come FIRST to guarantee they land inside the snapshot window.
+        "multimodal_features": q_multimodal_features,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
+        "sim_cosine_topk_ivf": q_sim_cosine_topk_ivf,
+        "sim_embedding_near_dups": q_sim_embedding_near_dups,
+        "events_sessionize": q_events_sessionize,
         "frag_subject": q_frag_subject,
         "frag_subject_relative": q_frag_subject_relative,
         "frag_subject_bnodes": q_frag_subject_bnodes,
@@ -931,12 +941,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_tokens": q_text_tokens,
-        "multimodal_features": q_multimodal_features,
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
-        "sim_cosine_topk_ivf": q_sim_cosine_topk_ivf,
-        "sim_embedding_near_dups": q_sim_embedding_near_dups,
-        "events_sessionize": q_events_sessionize,
     }
 
 
