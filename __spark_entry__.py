@@ -398,12 +398,28 @@ def q_source_n3_roundtrip(spark, sf_dir):
     )
 
 
+#: A fixed @inlist block PREPENDED to every rdfa_roundtrip file: two
+#: literal list items + one rel-resource list. First in <body>, so the
+#: rdf:first/rdf:rest chain bnodes get deterministic labels
+#: genid_rdfa_{1,2,3} (per-file salted to f{i}_genid_rdfa_N by the
+#: distributed reader); the oracle hardcodes the same 8 rows per file.
+_RDFA_INLIST_BLOCK = (
+    '<div about="http://lists.example/s" prefix="lx: http://lists.example/">'
+    '<span inlist property="lx:items" content="one"></span>'
+    '<span inlist property="lx:items" content="two"></span>'
+    '<link inlist rel="lx:links" href="http://lists.example/o1">'
+    "</div>"
+)
+
+
 def q_source_rdfa_roundtrip(spark, sf_dir):
     """RDFa source e2e: the order quads rendered as RDFa-annotated HTML
-    (meta/@content for literals, link/@resource for IRI objects) across 4
-    .html files, read back through read_rdf's extension dispatch
+    (meta/@content for literals; resource objects rotate property= / rel=
+    / hanging-rel shapes) across 4 .html files, each with a fixed @inlist
+    block, read back through read_rdf's extension dispatch
     (sources/rdfa.py) — drives CURIE-free attribute processing, void
-    elements, and the distributed multi-file parse."""
+    elements, §7.5 incomplete-triple chaining, rdf:List generation, and
+    the distributed multi-file parse."""
     import os
     import tempfile
 
@@ -414,8 +430,11 @@ def q_source_rdfa_roundtrip(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="rdfa_rt_")
     n_files = 4
     for i in range(n_files):
+        html = serialize_rdfa(rows[i::n_files]).replace(
+            "<html><body>", "<html><body>" + _RDFA_INLIST_BLOCK, 1
+        )
         with open(os.path.join(tmp, f"part{i}.html"), "w") as f:
-            f.write(serialize_rdfa(rows[i::n_files]))
+            f.write(html)
     return read_rdf(spark, tmp).select(
         "s_type", "s", "p", "o_type", "o", "o_datatype", "o_lang"
     )
@@ -1700,8 +1719,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
         """,
         "source_rdfa_roundtrip": f"""
-            WITH quads AS ({_ORDER_QUADS})
+            WITH quads AS ({_ORDER_QUADS}),
+            fp AS (SELECT 'f' || CAST(i AS VARCHAR) || '_' AS pfx FROM range(4) t(i)),
+            inl(s_type, s_raw, p, o_type, o_raw, o_datatype, o_lang) AS (VALUES
+              ('BlankNode', 'genid_rdfa_1', '{RDF_TYPE.rsplit("#", 1)[0]}#first', 'Literal',   'one',                          NULL, NULL),
+              ('BlankNode', 'genid_rdfa_1', '{RDF_TYPE.rsplit("#", 1)[0]}#rest',  'BlankNode', 'genid_rdfa_2',                 NULL, NULL),
+              ('BlankNode', 'genid_rdfa_2', '{RDF_TYPE.rsplit("#", 1)[0]}#first', 'Literal',   'two',                          NULL, NULL),
+              ('BlankNode', 'genid_rdfa_2', '{RDF_TYPE.rsplit("#", 1)[0]}#rest',  'NamedNode', '{RDF_TYPE.rsplit("#", 1)[0]}#nil', NULL, NULL),
+              ('NamedNode', 'http://lists.example/s', 'http://lists.example/items', 'BlankNode', 'genid_rdfa_1', NULL, NULL),
+              ('BlankNode', 'genid_rdfa_3', '{RDF_TYPE.rsplit("#", 1)[0]}#first', 'NamedNode', 'http://lists.example/o1',      NULL, NULL),
+              ('BlankNode', 'genid_rdfa_3', '{RDF_TYPE.rsplit("#", 1)[0]}#rest',  'NamedNode', '{RDF_TYPE.rsplit("#", 1)[0]}#nil', NULL, NULL),
+              ('NamedNode', 'http://lists.example/s', 'http://lists.example/links', 'BlankNode', 'genid_rdfa_3', NULL, NULL)
+            )
             SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
+            UNION ALL
+            SELECT s_type,
+                   CASE WHEN s_type = 'BlankNode' THEN pfx || s_raw ELSE s_raw END AS s,
+                   p,
+                   o_type,
+                   CASE WHEN o_type = 'BlankNode' THEN pfx || o_raw ELSE o_raw END AS o,
+                   CAST(o_datatype AS VARCHAR) AS o_datatype,
+                   CAST(o_lang AS VARCHAR) AS o_lang
+            FROM inl, fp
         """,
         "source_n3_roundtrip": f"""
             WITH quads AS ({_ORDER_QUADS})

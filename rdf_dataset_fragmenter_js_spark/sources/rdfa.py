@@ -22,25 +22,35 @@ Coverage — RDFa 1.1 **Lite** plus the attributes real markup leans on:
   form one merged document (shared authored-bnode scope), disjoint from
   the RDFa blank-node scope.
 
-* ``rel`` / ``rev`` **with an explicit resource on the same element**
-  (``resource`` / ``href`` / ``src``): exact RDFa Core §7.5 step-6
-  semantics — ``rel`` links subject→resource, ``rev`` the reverse, and
-  the object resource becomes the subject for descendants (chaining with
-  an explicit resource). ``typeof`` applies to ``about`` when present,
-  else to the object resource (the spec's *typed resource*). Term values
-  resolve like ``property`` (CURIE / absolute IRI / ``vocab``-scoped
-  NCName) plus the RDFa 1.1 initial-context term mappings
-  (``describedby`` / ``license`` / ``role``); plain HTML link relations
+* ``rel`` / ``rev`` per the full RDFa Core 1.1 §7.5 processing sequence:
+  an explicit resource on the element (``resource`` / ``href`` / ``src``)
+  completes the link in place (step 9) and becomes the *current object
+  resource* for descendants; a **hanging** ``rel`` / ``rev`` (no resource)
+  stores *incomplete triples* (step 10) that every descendant which
+  establishes a new subject completes against the element's subject
+  (step 12), with a freshly minted blank node as the chaining object for
+  descendants that merely continue the scope. ``typeof`` applies to
+  ``about`` when present, else to the object resource (the spec's *typed
+  resource*). Term values resolve per Core §7.4.3: CURIE, absolute IRI,
+  then the in-scope ``vocab``, then — only when NO vocab is in scope —
+  the RDFa 1.1 initial-context term mappings (``describedby`` /
+  ``license`` / ``role``, case-insensitive); plain HTML link relations
   (``rel="stylesheet"``, ``rel="next"`` with no in-scope vocab) resolve
-  to no term and the attribute is ignored, per Core §7.4.3
-  term-expansion failure — they are HTML hyperlinks, not RDFa.
+  to no term and the attribute is ignored — they are HTML hyperlinks,
+  not RDFa. Per HTML+RDFa 1.1 §3.1, when ``property`` co-occurs with
+  ``rel`` / ``rev`` on one element, non-CURIE non-IRI (term) values in
+  ``rel`` / ``rev`` are ignored; if that leaves them empty the element
+  is processed as if they were absent (the "property copies" rule).
+* ``inlist`` (rdf:List collections): list mappings per Core §7.5 steps
+  8 / 9 / 11, accumulated across the subtree that shares the owning
+  subject and emitted as ``rdf:first`` / ``rdf:rest`` chains when the
+  owning element closes; a hanging ``rel inlist`` stores a
+  list-direction incomplete triple completed by descendant subjects.
 
-RDFa Core features OUTSIDE this subset fail fast with the offending
-attribute rather than silently mis-parse: a *hanging* ``rel`` / ``rev``
-(no resource on the element → incomplete-triple chaining), ``rel`` /
-``rev`` combined with ``property`` on one element (HTML+RDFa's
-property-copies-rel special case), and ``inlist``. Unknown *terms* (a
-bare ``property="foo"`` with no in-scope ``vocab``) are dropped like the
+The one deliberate fail-fast: ``datatype="rdf:XMLLiteral"`` (serializing
+the inner markup verbatim is out of scope; a text-content literal would
+silently diverge from the reference). Unknown *terms* (a bare
+``property="foo"`` with no in-scope ``vocab``) are dropped like the
 spec's term-expansion failure, not errors.
 """
 
@@ -82,13 +92,13 @@ INITIAL_CONTEXT = {
     "xhv": "http://www.w3.org/1999/xhtml/vocab#",
 }
 
-_UNSUPPORTED_ATTRS = ("inlist",)
 _PREFIX_DECL = re.compile(r"([A-Za-z][\w.\-]*):\s+(\S+)")
 _NCNAME = re.compile(r"^[A-Za-z_][\w.\-]*$")
 
 #: RDFa 1.1 initial-context TERM mappings (w3.org/2011/rdfa-context/
-#: rdfa-1.1) — resolved case-insensitively per Core §7.4.3, and checked
-#: BEFORE @vocab (local term mappings take precedence over vocab).
+#: rdfa-1.1) — resolved case-insensitively, and only when NO local
+#: default vocabulary is in scope (Core §7.4.3: a local @vocab wins;
+#: term mappings are the no-vocab fallback).
 _INITIAL_TERMS = {
     "describedby": "http://www.w3.org/2007/05/powder-s#describedby",
     "license": "http://www.w3.org/1999/xhtml/vocab#license",
@@ -107,16 +117,45 @@ _DATETIME_TYPES = (
 
 
 class _Scope:
-    __slots__ = ("tag", "subject", "prefixes", "vocab", "lang", "literal")
+    """One element's *evaluation context* for its children (RDFa Core 1.1
+    §7.5 step 13): parent subject, parent object (the chaining target),
+    the incomplete triples this element left hanging, and the shared
+    rdf:List mapping."""
 
-    def __init__(self, tag, subject, prefixes, vocab, lang, literal=None):
+    __slots__ = (
+        "tag",
+        "subject",
+        "object",
+        "prefixes",
+        "vocab",
+        "lang",
+        "literal",
+        "incomplete",
+        "list_mapping",
+        "owns_list",
+        "list_subject",
+    )
+
+    def __init__(self, tag, subject, obj, prefixes, vocab, lang):
         self.tag = tag
         self.subject = subject  # (type, value) parent subject for children
+        self.object = obj  # (type, value) parent object for children
         self.prefixes = prefixes
         self.vocab = vocab
         self.lang = lang
-        #: open text-content literal: (subject, [preds], datatype, lang, buf)
-        self.literal = literal
+        #: open text-content literal:
+        #: (subject, [preds], datatype, lang, inlist_mapping_or_None, buf)
+        self.literal = None
+        #: incomplete triples for children: [(pred_or_list, direction)]
+        #: with direction in {"forward", "reverse", "list"} (§7.5 step 10)
+        self.incomplete: list = []
+        #: pred IRI -> [(type, value, datatype, lang)] — SHARED down the
+        #: subtree until a new subject recreates it (§7.5 step 8)
+        self.list_mapping: dict = {}
+        #: True when THIS element created the mapping → emit rdf:first/
+        #: rdf:rest chains when the element closes
+        self.owns_list = False
+        self.list_subject = None
 
 
 class _RdfaParser(QuadHtmlParser):
@@ -130,7 +169,12 @@ class _RdfaParser(QuadHtmlParser):
         self._doc = (
             ("NamedNode", base_iri) if base_iri else ("BlankNode", "genid_rdfa_doc")
         )
-        self.stack.append(_Scope(None, self._doc, dict(INITIAL_CONTEXT), None, None))
+        # Root evaluation context: parent subject AND parent object are the
+        # document node (the spec's root-element "act as if empty @about"
+        # rule falls out of every default chain reading parent object).
+        root = _Scope(None, self._doc, self._doc, dict(INITIAL_CONTEXT), None, None)
+        root.list_subject = self._doc
+        self.stack.append(root)
 
     # -- term machinery ----------------------------------------------------
 
@@ -150,8 +194,11 @@ class _RdfaParser(QuadHtmlParser):
         return ("NamedNode", self._resolve(value))
 
     def _term_or_curie(self, value: str, scope: _Scope) -> str | None:
-        """@property/@typeof/@datatype item → IRI, or None when a bare term
-        has no in-scope vocab (dropped, per term-expansion failure)."""
+        """@property/@typeof/@datatype/@rel/@rev item → IRI. Terms resolve
+        per Core §7.4.3: the in-scope @vocab first, the initial-context
+        term mappings (case-insensitive) only when no vocab is in scope,
+        else None (dropped, per term-expansion failure — a plain HTML link
+        relation like ``stylesheet`` resolves to no term)."""
         if ":" in value:
             prefix, suffix = value.split(":", 1)
             if not suffix.startswith("//") and prefix in scope.prefixes:
@@ -159,30 +206,20 @@ class _RdfaParser(QuadHtmlParser):
             if _ABSOLUTE_IRI.match(value):
                 return value
         if _NCNAME.match(value):
-            return scope.vocab + value if scope.vocab else None
+            if scope.vocab:
+                return scope.vocab + value
+            return _INITIAL_TERMS.get(value.lower())
         return None
 
-    def _terms(self, attr_value: str, scope: _Scope) -> list[str]:
+    def _terms(
+        self, attr_value: str, scope: _Scope, curie_only: bool = False
+    ) -> list[str]:
+        """``curie_only`` implements HTML+RDFa 1.1 §3.1: when @property
+        co-occurs with @rel/@rev, non-CURIE non-IRI (term) values in the
+        latter are ignored."""
         out = []
         for item in attr_value.split():
-            iri = self._term_or_curie(item, scope)
-            if iri is not None:
-                out.append(iri)
-        return out
-
-    def _link_terms(self, attr_value: str, scope: _Scope) -> list[str]:
-        """@rel/@rev items → IRIs. Initial-context term mappings win over
-        @vocab (Core §7.4.3); an item that resolves to no term (a plain
-        HTML link relation like ``stylesheet``) is dropped — a fully
-        unresolvable @rel/@rev means the attribute is ignored."""
-        out = []
-        for item in attr_value.split():
-            if ":" not in item and _NCNAME.match(item):
-                mapped = _INITIAL_TERMS.get(item.lower())
-                if mapped is not None:
-                    out.append(mapped)
-                elif scope.vocab:
-                    out.append(scope.vocab + item)
+            if curie_only and ":" not in item:
                 continue
             iri = self._term_or_curie(item, scope)
             if iri is not None:
@@ -196,18 +233,11 @@ class _RdfaParser(QuadHtmlParser):
         for k, v in attrs:
             if v is not None and k not in a:  # first wins, like browsers
                 a[k] = v
-        # the fail-fast must see valueless (bare) attributes too: @inlist
-        # is DEFINED by presence ('<span property="p" inlist>') — checking
-        # only the value-carrying dict would silently mis-parse those
-        # documents. (A bare/valueless @rel resolves to zero terms and is
-        # ignored per Core §7.4.3 term-expansion failure, so it need not.)
+        # @inlist is DEFINED by presence ('<span property="p" inlist>'),
+        # so it must be read from the raw pairs, not the value-carrying
+        # dict. (A bare/valueless @rel resolves to zero terms and is
+        # ignored per Core §7.4.3 term-expansion failure.)
         present = {k for k, _ in attrs}
-        for bad in _UNSUPPORTED_ATTRS:
-            if bad in present:
-                raise NotImplementedError(
-                    f"RDFa attribute @{bad} (chaining/list semantics) is "
-                    "outside the RDFa Lite subset this engine parses"
-                )
         parent = self.stack[-1]
         prefixes, vocab, lang = parent.prefixes, parent.vocab, parent.lang
         if "prefix" in a:
@@ -225,11 +255,22 @@ class _RdfaParser(QuadHtmlParser):
             self.base = a["href"]
             new_doc = ("NamedNode", self.base)
             old_t, old_v = self._doc
+            seen_maps: set[int] = set()
             for sc in self.stack:
                 if sc.subject == self._doc:
                     sc.subject = new_doc
+                if sc.object == self._doc:
+                    sc.object = new_doc
+                if sc.list_subject == self._doc:
+                    sc.list_subject = new_doc
                 if sc.literal is not None and sc.literal[0] == self._doc:
                     sc.literal = (new_doc,) + sc.literal[1:]
+                if id(sc.list_mapping) not in seen_maps:
+                    seen_maps.add(id(sc.list_mapping))
+                    for items in sc.list_mapping.values():
+                        for i, it in enumerate(items):
+                            if (it[0], it[1]) == (old_t, old_v):
+                                items[i] = new_doc + it[2:]
             self.quads = [
                 (
                     (new_doc[0] if (q[0], q[1]) == (old_t, old_v) else q[0]),
@@ -242,7 +283,7 @@ class _RdfaParser(QuadHtmlParser):
                 for q in self.quads
             ]
             self._doc = new_doc
-        scope = _Scope(tag, parent.subject, prefixes, vocab, lang)
+        scope = _Scope(tag, parent.subject, parent.object, prefixes, vocab, lang)
 
         explicit_res = next(
             (
@@ -253,119 +294,235 @@ class _RdfaParser(QuadHtmlParser):
             None,
         )
         about = self._curie_or_iri(a["about"], scope) if "about" in a else None
-        types = self._terms(a["typeof"], scope) if "typeof" in a else []
-        props = self._terms(a["property"], scope) if "property" in a else []
-        datatype = None
-        if "datatype" in a:
-            datatype = self._term_or_curie(a["datatype"], scope) if a["datatype"] else None
+        has_typeof = "typeof" in present
+        types = self._terms(a.get("typeof") or "", scope)
+        has_prop = "property" in present
+        props = self._terms(a.get("property") or "", scope)
+        inlist = "inlist" in present
+        datatype_attr = "datatype" in a
+        datatype = (
+            self._term_or_curie(a["datatype"], scope) if a.get("datatype") else None
+        )
+        if datatype == RDF_NS + "XMLLiteral":
+            raise NotImplementedError(
+                "datatype rdf:XMLLiteral (verbatim inner-markup literals) "
+                "is outside the subset this engine parses"
+            )
+        content = a.get("content")
+        if content is None and tag == "time" and "datetime" in a:
+            # HTML+RDFa §3.1: @datetime acts as @content, with lexical
+            # datatype inference when no @datatype is given
+            content = a["datetime"]
+            if not datatype_attr:
+                datatype = next(
+                    (dt for rx, dt in _DATETIME_TYPES if rx.match(content)), None
+                )
+        # HTML+RDFa 1.1 §3.1: with @property present, term values in
+        # @rel/@rev are ignored (CURIEs / absolute IRIs survive); both
+        # empty → processed as if @rel/@rev were absent
+        rels = self._terms(a.get("rel") or "", scope, curie_only=has_prop)
+        revs = self._terms(a.get("rev") or "", scope, curie_only=has_prop)
 
-        rels = self._link_terms(a.get("rel") or "", scope)
-        revs = self._link_terms(a.get("rev") or "", scope)
-        if rels or revs:
-            # RDFa Core §7.5 step 6: @rel/@rev with an explicit resource.
-            if props:
-                raise NotImplementedError(
-                    "@rel/@rev combined with @property on one element "
-                    "(HTML+RDFa property-copies special case) is outside "
-                    "the subset this engine parses"
-                )
-            if explicit_res is None:
-                raise NotImplementedError(
-                    "hanging @rel/@rev (no @resource/@href/@src on the "
-                    "element → incomplete-triple chaining) is outside the "
-                    "subset this engine parses"
-                )
-            subject = about if about is not None else parent.subject
-            # the spec's *typed resource*: @about when present, else the
-            # current object resource (step 6's typeof placement)
-            typed = about if about is not None else explicit_res
+        # -- §7.5 steps 5/6: new subject / current object resource ---------
+        new_subject = None
+        cor = None  # current object resource
+        typed = None  # typed resource (receives @typeof)
+        skip = False
+        if not rels and not revs:
+            if has_prop and content is None and not datatype_attr:
+                # step 5.1: @property without @content/@datatype — the
+                # subject comes from @about or the parent object; a plain
+                # @resource is the property's OBJECT (step 11), never the
+                # descendants' subject
+                new_subject = about if about is not None else parent.object
+                if has_typeof:
+                    if about is not None:
+                        typed = about
+                    else:
+                        typed = (
+                            explicit_res
+                            if explicit_res is not None
+                            else self._fresh_bnode()
+                        )
+                        cor = typed
+            else:
+                # step 5.2 (with @content/@datatype, @resource/@href/@src
+                # names the SUBJECT per spec)
+                if about is not None:
+                    new_subject = about
+                elif explicit_res is not None:
+                    new_subject = explicit_res
+                elif has_typeof:
+                    new_subject = self._fresh_bnode()
+                else:
+                    new_subject = parent.object
+                    if not has_prop:
+                        skip = True
+                if has_typeof:
+                    typed = new_subject
+        else:
+            # step 6: @rel/@rev present
+            new_subject = about if about is not None else parent.object
+            cor = explicit_res
+            if has_typeof:
+                if about is not None:
+                    typed = new_subject
+                else:
+                    typed = cor if cor is not None else self._fresh_bnode()
+                    cor = typed
+
+        # -- step 7: typing -------------------------------------------------
+        if typed is not None:
             for t in types:
                 self._emit(typed, RDF_NS + "type", ("NamedNode", t))
-            for r in rels:
-                self._emit(subject, r, explicit_res)
-            for r in revs:
-                self._emit(explicit_res, r, subject)
-            # current object resource becomes the subject for descendants
-            # (<div about=A rel=knows resource=B><span property=name>
-            # describes B) — same chaining rule as property+resource above
-            scope.subject = explicit_res
-            self._finish_starttag(tag, scope)
-            return
 
-        if not props:
-            subject = about or explicit_res or (self._fresh_bnode() if types else None)
-            if subject is not None:
-                for t in types:
-                    self._emit(subject, RDF_NS + "type", ("NamedNode", t))
-                scope.subject = subject
+        # -- step 8: a new subject different from the parent object opens a
+        # fresh list-mapping scope; otherwise the parent's is shared
+        if new_subject is not None and new_subject != parent.object:
+            scope.list_mapping = {}
+            scope.owns_list = True
+            scope.list_subject = new_subject
         else:
-            subject = about or parent.subject
-            if types and about is None:
-                # typed resource as the OBJECT of the property (Lite's
-                # <div property="p" typeof="T"> pattern)
-                typed = explicit_res or self._fresh_bnode()
-                for p in props:
-                    self._emit(subject, p, typed)
-                for t in types:
-                    self._emit(typed, RDF_NS + "type", ("NamedNode", t))
-                scope.subject = typed
-            elif explicit_res is not None:
-                # reaching here types is non-empty only with @about present
-                # (typeof without @about took the typed-object branch), and
-                # RDFa Core types the @about resource in that case
-                for t in types:
-                    self._emit(subject, RDF_NS + "type", ("NamedNode", t))
-                for p in props:
-                    self._emit(subject, p, explicit_res)
-                # @resource/@href/@src with @property is the current object
-                # resource — RDFa Core 7.5 step 6 makes it the new subject
-                # for descendants (<div about=s property=knows resource=o>
-                # <span property=name> describes o, not s)
-                scope.subject = explicit_res
+            scope.list_mapping = parent.list_mapping
+
+        # -- steps 9/10: @rel/@rev triples, or incomplete triples -----------
+        incomplete_local: list = []
+        if rels or revs:
+            if cor is not None:
+                for r in rels:
+                    if inlist:
+                        scope.list_mapping.setdefault(r, []).append(cor + (None, None))
+                    else:
+                        self._emit(new_subject, r, cor)
+                for r in revs:
+                    self._emit(cor, r, new_subject)
             else:
-                if types:  # typeof with about: type the subject itself
-                    for t in types:
-                        self._emit(subject, RDF_NS + "type", ("NamedNode", t))
-                content = a.get("content")
-                if content is None and tag == "time" and "datetime" in a:
-                    content = a["datetime"]
-                    if datatype is None and "datatype" not in a:
-                        datatype = next(
-                            (dt for rx, dt in _DATETIME_TYPES if rx.match(content)),
-                            None,
+                # hanging @rel/@rev: store incomplete triples, mint the
+                # chaining bnode descendants continue from (step 10)
+                for r in rels:
+                    if inlist:
+                        incomplete_local.append(
+                            (scope.list_mapping.setdefault(r, []), "list")
                         )
+                    else:
+                        incomplete_local.append((r, "forward"))
+                for r in revs:
+                    incomplete_local.append((r, "reverse"))
+                cor = self._fresh_bnode()
+
+        # -- step 11: @property value ----------------------------------------
+        if props:
+            value = None  # resource-valued property: (type, value)
+            lit = None  # immediate literal: (text, datatype, lang)
+            defer = False  # literal from text content, filled at end tag
+            if datatype_attr:
+                # a resolving @datatype → typed literal; empty/unresolvable
+                # @datatype → plain literal — either way a literal, even
+                # with @resource present (step 11's rule order)
                 if content is not None:
-                    self._emit(
-                        subject,
-                        props[0],
-                        ("Literal", content),
-                        datatype,
-                        None if datatype else lang,
-                    )
-                    for p in props[1:]:
-                        self._emit(
-                            subject, p, ("Literal", content),
-                            datatype, None if datatype else lang,
-                        )
+                    lit = (content, datatype, None if datatype else lang)
                 else:
-                    # plain literal = element text content, collected until
-                    # the matching end tag (children still produce their own
-                    # triples; their text also feeds this buffer)
-                    scope.literal = (subject, props, datatype, lang, [])
-                scope.subject = subject
+                    defer = True
+            elif content is not None:
+                lit = (content, datatype, None if datatype else lang)
+            elif not rels and not revs and explicit_res is not None:
+                value = explicit_res
+            elif has_typeof and about is None:
+                value = typed
+            else:
+                defer = True
+            if value is not None:
+                for p in props:
+                    if inlist:
+                        scope.list_mapping.setdefault(p, []).append(
+                            value + (None, None)
+                        )
+                    else:
+                        self._emit(new_subject, p, value)
+            elif lit is not None:
+                text, dt, lg = lit
+                for p in props:
+                    if inlist:
+                        scope.list_mapping.setdefault(p, []).append(
+                            ("Literal", text, dt, lg)
+                        )
+                    else:
+                        self._emit(new_subject, p, ("Literal", text), dt, lg)
+            elif defer:
+                # literal = element text content, collected until the
+                # matching end tag (children still produce their own
+                # triples; their text also feeds this buffer)
+                mapping = scope.list_mapping if inlist else None
+                scope.literal = (new_subject, props, datatype, lang, mapping, [])
+
+        # -- step 12: a new subject completes the parent's incomplete triples
+        if not skip and new_subject is not None:
+            for pred, direction in parent.incomplete:
+                if direction == "list":
+                    pred.append(new_subject + (None, None))
+                elif direction == "forward":
+                    self._emit(parent.subject, pred, new_subject)
+                else:
+                    self._emit(new_subject, pred, parent.subject)
+
+        # -- step 13: evaluation context for children ------------------------
+        if skip:
+            scope.subject = parent.subject
+            scope.object = parent.object
+            scope.incomplete = parent.incomplete
+        else:
+            scope.subject = new_subject if new_subject is not None else parent.subject
+            scope.object = cor or new_subject or parent.subject
+            scope.incomplete = incomplete_local
 
         self._finish_starttag(tag, scope)
 
     def _flush_literal(self, scope: _Scope):
-        if scope.literal is None:
-            return
-        subject, props, datatype, lang, buf = scope.literal
-        text = "".join(buf)
-        for p in props:
-            self._emit(
-                subject, p, ("Literal", text), datatype, None if datatype else lang
-            )
-        scope.literal = None
+        if scope.literal is not None:
+            subject, props, datatype, lang, mapping, buf = scope.literal
+            text = "".join(buf)
+            for p in props:
+                if mapping is not None:  # @inlist literal joins the list
+                    mapping.setdefault(p, []).append(
+                        ("Literal", text, datatype, None if datatype else lang)
+                    )
+                else:
+                    self._emit(
+                        subject,
+                        p,
+                        ("Literal", text),
+                        datatype,
+                        None if datatype else lang,
+                    )
+            scope.literal = None
+        if scope.owns_list and scope.list_mapping:
+            self._emit_lists(scope.list_mapping, scope.list_subject)
+
+    def _emit_lists(self, mapping: dict, subject):
+        """rdf:first/rdf:rest chains for a closing list-mapping owner (the
+        spec's end-of-element list generation); an empty list — a hanging
+        ``rel inlist`` no descendant completed — attaches rdf:nil."""
+        nil = ("NamedNode", RDF_NS + "nil")
+        for pred, items in mapping.items():
+            if not items:
+                self._emit(subject, pred, nil)
+                continue
+            nodes = [self._fresh_bnode() for _ in items]
+            for i, it in enumerate(items):
+                self._emit(nodes[i], RDF_NS + "first", (it[0], it[1]), it[2], it[3])
+                self._emit(
+                    nodes[i],
+                    RDF_NS + "rest",
+                    nodes[i + 1] if i + 1 < len(nodes) else nil,
+                )
+            self._emit(subject, pred, nodes[0])
+        mapping.clear()
+
+    def close(self):
+        super().close()
+        root = self.stack[0]
+        if root.list_mapping:
+            self._emit_lists(root.list_mapping, root.list_subject)
 
 
 class _JsonLdIslandFinder(HTMLParser):
@@ -381,7 +538,11 @@ class _JsonLdIslandFinder(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         if tag == "script":
-            mime = (dict(attrs).get("type") or "").strip().lower()
+            # same first-wins duplicate-attribute fold as _RdfaParser so
+            # both passes over one HTML document classify it identically
+            mime = next(
+                ((v or "") for k, v in attrs if k == "type"), ""
+            ).strip().lower()
             if mime == "application/ld+json":
                 self._in_island = True
                 self._buf = []
@@ -449,13 +610,15 @@ def parse_rdfa(
 
 
 def serialize_rdfa(rows: list[tuple]) -> str:
-    """Quad tuples → RDFa-annotated HTML (one ``meta``/``link`` element per
-    quad: ``meta/@content`` for literals, ``link/@resource`` for IRI and
-    blank-node objects — alternating ``property=`` / ``rel=`` on the links
-    so a round-trip exercises BOTH resource-object code paths in
-    :func:`parse_rdfa`). Round-trips through :func:`parse_rdfa` —
-    property-tested; used by the ``source_rdfa_roundtrip`` gate entry.
-    RDFa has no named-graph syntax, so quads with a graph are rejected."""
+    """Quad tuples → RDFa-annotated HTML (one element per quad:
+    ``meta/@content`` for literals; resource objects rotate through THREE
+    shapes — ``link/@property``, ``link/@rel`` with explicit resource, and
+    a *hanging* ``rel`` div completed by a descendant ``@about`` — so a
+    round-trip exercises all three resource-object code paths in
+    :func:`parse_rdfa`, including §7.5 incomplete-triple chaining).
+    Round-trips through :func:`parse_rdfa` — property-tested; used by the
+    ``source_rdfa_roundtrip`` gate entry. RDFa has no named-graph syntax,
+    so quads with a graph are rejected."""
     import html as _html
 
     def esc(v: str) -> str:
@@ -482,13 +645,23 @@ def serialize_rdfa(rows: list[tuple]) -> str:
                 f'<meta about="{about}" property="{prop}" content="{esc(o)}"{attrs}>'
             )
         else:
-            # alternate property=/rel= — an absolute-IRI @rel resolves
-            # identically, so the round-trip covers Core §7.5 step 6 too
-            link_attr = "rel" if n_links % 2 else "property"
+            # rotate property= / rel= / hanging-rel — an absolute-IRI @rel
+            # resolves identically, so the round-trip covers §7.5 step 6
+            # (explicit resource) AND steps 10+12 (incomplete-triple
+            # completion by a descendant @about)
+            obj = esc(ref(o_type, o))
+            shape = n_links % 3
             n_links += 1
-            parts.append(
-                f'<link about="{about}" {link_attr}="{prop}" resource="{esc(ref(o_type, o))}">'
-            )
+            if shape == 2:
+                parts.append(
+                    f'<div about="{about}" rel="{prop}">'
+                    f'<span about="{obj}"></span></div>'
+                )
+            else:
+                link_attr = "rel" if shape else "property"
+                parts.append(
+                    f'<link about="{about}" {link_attr}="{prop}" resource="{obj}">'
+                )
     parts.append("</body></html>")
     return "\n".join(parts)
 

@@ -136,8 +136,9 @@ def test_rel_chaining_descendants_describe_object_resource():
 
 
 def test_rel_initial_context_term_and_curie():
-    # 'license' is an RDFa 1.1 initial-context TERM (no vocab needed) and
-    # wins over @vocab; CURIEs resolve through in-scope prefixes as usual
+    # Core §7.4.3: a local @vocab resolves a bare term FIRST; the RDFa 1.1
+    # initial-context TERM mappings apply only when no vocab is in scope.
+    # CURIEs resolve through in-scope prefixes as usual.
     html = (
         '<div vocab="http://schema.org/" about="http://ex.org/a">'
         '<a rel="license" href="http://ex.org/l">L</a>'
@@ -145,22 +146,125 @@ def test_rel_initial_context_term_and_curie():
     )
     rows = {(r[1], r[2], r[4]) for r in parse_rdfa(html, base_iri=B)}
     assert rows == {
-        ("http://ex.org/a", "http://www.w3.org/1999/xhtml/vocab#license", "http://ex.org/l"),
+        ("http://ex.org/a", S + "license", "http://ex.org/l"),
         ("http://ex.org/a", "http://xmlns.com/foaf/0.1/knows", "http://ex.org/b"),
+    }
+    no_vocab = '<div about="http://ex.org/a"><a rel="license" href="http://ex.org/l">L</a></div>'
+    rows = {(r[1], r[2], r[4]) for r in parse_rdfa(no_vocab, base_iri=B)}
+    assert rows == {
+        ("http://ex.org/a", "http://www.w3.org/1999/xhtml/vocab#license", "http://ex.org/l"),
     }
 
 
-def test_hanging_rel_and_rel_with_property_fail_fast():
-    with pytest.raises(NotImplementedError, match="hanging @rel"):
+def test_hanging_rel_completed_by_descendant_subjects():
+    """§7.5 steps 10+12: a hanging @rel stores incomplete triples; EVERY
+    descendant that establishes a new subject completes them."""
+    html = (
+        '<div vocab="http://schema.org/" about="http://ex.org/a" rel="knows">'
+        '<span about="http://ex.org/b">b</span>'
+        '<span about="http://ex.org/c">c</span></div>'
+    )
+    rows = {(r[1], r[2], r[4]) for r in parse_rdfa(html, base_iri=B)}
+    assert rows == {
+        ("http://ex.org/a", S + "knows", "http://ex.org/b"),
+        ("http://ex.org/a", S + "knows", "http://ex.org/c"),
+    }
+
+
+def test_hanging_rel_chains_through_minted_bnode():
+    """A descendant that merely continues the scope (bare @property) takes
+    the step-10 minted bnode as its subject, completing through it."""
+    html = (
+        '<div vocab="http://schema.org/" about="http://ex.org/a" rel="knows">'
+        '<span property="name">Bob</span></div>'
+    )
+    rows = parse_rdfa(html, base_iri=B)
+    knows = next(r for r in rows if r[2] == S + "knows")
+    assert knows[3] == "BlankNode"
+    vals = _vals(rows)
+    assert ("BlankNode", knows[4], S + "name", "Literal", "Bob", None, None) in vals
+    assert len(rows) == 2
+
+
+def test_hanging_rev_reverses_completion():
+    html = (
+        '<div vocab="http://schema.org/" about="http://ex.org/a" rev="parent">'
+        '<span about="http://ex.org/kid">k</span></div>'
+    )
+    rows = {(r[1], r[2], r[4]) for r in parse_rdfa(html, base_iri=B)}
+    assert rows == {("http://ex.org/kid", S + "parent", "http://ex.org/a")}
+
+
+def test_rel_with_property_drops_terms_keeps_curies():
+    """HTML+RDFa 1.1 §3.1: with @property present, TERM values in @rel are
+    ignored (the resource then belongs to @property); CURIE/IRI values
+    survive and consume the resource, @property falling back to the text
+    literal."""
+    html = (
+        '<div vocab="http://schema.org/" about="http://ex.org/a">'
+        '<a rel="knows" property="url" href="http://ex.org/b">b</a></div>'
+    )
+    rows = {(r[1], r[2], r[3], r[4]) for r in parse_rdfa(html, base_iri=B)}
+    assert rows == {("http://ex.org/a", S + "url", "NamedNode", "http://ex.org/b")}
+    html = (
+        '<div vocab="http://schema.org/" about="http://ex.org/a">'
+        '<a rel="foaf:knows" property="name" href="http://ex.org/b">Bob</a></div>'
+    )
+    rows = {(r[1], r[2], r[3], r[4]) for r in parse_rdfa(html, base_iri=B)}
+    assert rows == {
+        ("http://ex.org/a", "http://xmlns.com/foaf/0.1/knows", "NamedNode", "http://ex.org/b"),
+        ("http://ex.org/a", S + "name", "Literal", "Bob"),
+    }
+
+
+def test_inlist_property_builds_rdf_list():
+    html = (
+        '<div about="http://ex.org/s" prefix="lx: http://lists.example/">'
+        '<span inlist property="lx:items" content="one"></span>'
+        '<span inlist property="lx:items">two</span>'
+        '<link inlist rel="lx:links" href="http://ex.org/o1"></div>'
+    )
+    rows = parse_rdfa(html, base_iri=B)
+    FIRST, REST, NIL = RDF_NS + "first", RDF_NS + "rest", RDF_NS + "nil"
+    items_head = next(r[4] for r in rows if r[2] == "http://lists.example/items")
+    firsts = {r[1]: r[4] for r in rows if r[2] == FIRST}
+    rests = {r[1]: (r[3], r[4]) for r in rows if r[2] == REST}
+    assert firsts[items_head] == "one"
+    nxt = rests[items_head]
+    assert nxt[0] == "BlankNode" and firsts[nxt[1]] == "two"
+    assert rests[nxt[1]] == ("NamedNode", NIL)
+    links_head = next(r[4] for r in rows if r[2] == "http://lists.example/links")
+    assert firsts[links_head] == "http://ex.org/o1"
+    assert rests[links_head] == ("NamedNode", NIL)
+
+
+def test_hanging_rel_inlist_collects_descendant_subjects():
+    html = (
+        '<div about="http://ex.org/s" inlist rel="http://ex.org/p">'
+        '<span about="http://ex.org/x">x</span>'
+        '<span about="http://ex.org/y">y</span></div>'
+    )
+    rows = parse_rdfa(html, base_iri=B)
+    FIRST = RDF_NS + "first"
+    head = next(r[4] for r in rows if r[2] == "http://ex.org/p")
+    firsts = [r[4] for r in rows if r[2] == FIRST]
+    assert firsts == ["http://ex.org/x", "http://ex.org/y"]
+    assert any(r[1] == head and r[2] == FIRST for r in rows)
+
+
+def test_hanging_rel_inlist_uncompleted_is_nil():
+    html = '<div about="http://ex.org/s" inlist rel="http://ex.org/p"></div>'
+    rows = parse_rdfa(html, base_iri=B)
+    assert [(r[1], r[2], r[4]) for r in rows] == [
+        ("http://ex.org/s", "http://ex.org/p", RDF_NS + "nil")
+    ]
+
+
+def test_xmlliteral_datatype_fails_fast():
+    with pytest.raises(NotImplementedError, match="XMLLiteral"):
         parse_rdfa(
-            '<div vocab="http://schema.org/" rel="knows">'
-            '<span about="http://ex.org/b">b</span></div>',
-            base_iri=B,
-        )
-    with pytest.raises(NotImplementedError, match="@rel/@rev combined"):
-        parse_rdfa(
-            '<div vocab="http://schema.org/">'
-            '<a rel="knows" property="url" href="http://ex.org/b">b</a></div>',
+            '<div about="http://ex.org/s" property="http://ex.org/p"'
+            ' datatype="rdf:XMLLiteral"><b>markup</b></div>',
             base_iri=B,
         )
 
@@ -191,23 +295,27 @@ def test_base_after_meta_rebases_emitted_quads():
     assert {r[1] for r in rows} == {"http://moved.org/doc"}
 
 
-def test_bare_unsupported_attr_fails_fast():
-    """@inlist is defined by PRESENCE (valueless) — the fail-fast must see
-    bare attributes, not only value-carrying ones."""
-    with pytest.raises(NotImplementedError, match="@inlist"):
-        parse_rdfa(
-            '<div vocab="http://schema.org/" about="http://ex.org/s">'
-            '<span property="name" inlist>A</span></div>',
-            base_iri=B,
-        )
+def test_bare_inlist_attr_is_seen_and_builds_list():
+    """@inlist is defined by PRESENCE (valueless) — it must be read from
+    the raw attribute pairs, not only the value-carrying dict."""
+    rows = parse_rdfa(
+        '<div vocab="http://schema.org/" about="http://ex.org/s">'
+        '<span property="name" inlist>A</span></div>',
+        base_iri=B,
+    )
+    head = next(r[4] for r in rows if r[2] == S + "name" and r[1] == "http://ex.org/s")
+    firsts = {r[1]: r[4] for r in rows if r[2] == RDF_NS + "first"}
+    assert firsts[head] == "A"
     # a bare/valueless @rel resolves to zero terms → ignored, not an error
     assert parse_rdfa('<a rel href="http://n.org/">n</a>', base_iri=B) == []
 
 
 def test_typeof_with_about_property_and_resource():
     """@about + @typeof + @property + @resource: RDFa Core types the @about
-    resource AND the object resource becomes the new subject for
-    descendants (7.5 step 6)."""
+    resource, @resource is the property's OBJECT, and descendants keep the
+    @about subject — §7.5 only makes an object resource the descendants'
+    subject from step 6 (@rel/@rev) or step 5.1's typeof-without-about
+    case, never from plain @property + @resource."""
     rows = parse_rdfa(
         '<div vocab="http://schema.org/" about="http://ex.org/s"'
         ' typeof="Person" property="knows" resource="http://ex.org/o">'
@@ -218,7 +326,7 @@ def test_typeof_with_about_property_and_resource():
     assert triples == {
         ("http://ex.org/s", RDF_NS + "type", S + "Person"),
         ("http://ex.org/s", S + "knows", "http://ex.org/o"),
-        ("http://ex.org/o", S + "name", "N"),
+        ("http://ex.org/s", S + "name", "N"),
     }
 
 
