@@ -344,7 +344,9 @@ def q_source_trig_roundtrip(spark, sf_dir):
     blocks (graph = orderkey % 4) across 4 .trig files, read back through
     read_rdf's extension dispatch (sources/turtle.py graph blocks) — the
     graph column must survive the roundtrip. Exercises GRAPH blocks, the
-    distributed multi-file parse, and the quad model's g column together."""
+    distributed multi-file parse, and the quad model's g column together;
+    file 3 names its graph with a BLANK NODE label (TriG labelOrSubject),
+    landing as the in-band '_:f3_b_g3' encoding after per-file salting."""
     import os
     import tempfile
 
@@ -362,8 +364,9 @@ def q_source_trig_roundtrip(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="trig_rt_")
     for k in range(4):
         lines = [r.line for r in rows if r.gk == k]
+        label = "_:g3" if k == 3 else f"<http://graphs.example/g{k}>"
         with open(os.path.join(tmp, f"part{k}.trig"), "w") as f:
-            f.write(f"GRAPH <http://graphs.example/g{k}> {{\n")
+            f.write(f"GRAPH {label} {{\n")
             f.write("\n".join(lines))
             f.write("\n}\n")
     return read_rdf(spark, tmp).select(
@@ -1757,7 +1760,9 @@ def oracle_sql() -> dict[str, str]:
         "source_trig_roundtrip": f"""
             WITH quads AS ({_ORDER_QUADS})
             SELECT s_type, s, p, o_type, o, o_datatype, o_lang,
-                   'http://graphs.example/g' || CAST((seq // 10) % 4 AS STRING) AS g
+                   CASE WHEN (seq // 10) % 4 = 3 THEN '_:f3_b_g3'
+                        ELSE 'http://graphs.example/g' || CAST((seq // 10) % 4 AS STRING)
+                   END AS g
             FROM quads
         """,
         "streaming_pipeline": f"""

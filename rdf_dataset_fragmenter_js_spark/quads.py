@@ -15,7 +15,9 @@ o_type      'NamedNode' | 'BlankNode' | 'Literal'
 o           object IRI / label / literal lexical form
 o_datatype  literal datatype IRI (nullable)
 o_lang      literal language tag (nullable)
-g           graph IRI (nullable; null = default graph)
+g           graph IRI (nullable; null = default graph). Blank-node graph
+            labels encode in-band as '_:<label>' — g has no companion
+            type column, and '_:' can never prefix an absolute IRI
 seq         source arrival order — makes the reference's stream-order-
             sensitive semantics (SURVEY.md §4.3) deterministic in batch
 

@@ -249,7 +249,9 @@ def write_fragment_files(
         def write_trig(pdf: pd.DataFrame) -> pd.DataFrame:
             parts = list(pdf[pdf["g"].isna()]["line"])
             for g, grp in pdf[pdf["g"].notna()].groupby("g", sort=True):
-                parts.append("GRAPH <" + str(g) + "> {")
+                g = str(g)
+                label = g if g.startswith("_:") else "<" + g + ">"
+                parts.append("GRAPH " + label + " {")
                 parts.extend(grp["line"])
                 parts.append("}")
             _write_text(pdf["path"].iloc[0], "\n".join(parts) + "\n")

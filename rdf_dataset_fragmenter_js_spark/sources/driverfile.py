@@ -136,6 +136,10 @@ def _parse_file_rows(
             s = bnode_prefix + s
         if o_type == _BNODE_TYPE:
             o = bnode_prefix + o
+        if g is not None and g.startswith("_:"):
+            # bnode graph labels (in-band '_:label' encoding, quads.py)
+            # are file-scoped like s/o labels
+            g = "_:" + bnode_prefix + g[2:]
         out.append((s_type, s, p, o_type, o, dt, lang, g, seq))
     return out
 

@@ -264,7 +264,8 @@ class _Parser:
             graph_iri = None
             if "@id" in doc:
                 g_type, g_val = self._subject_term(doc["@id"], ctx)
-                graph_iri = g_val if g_type == "NamedNode" else None
+                # bnode graph names keep the '_:' marker in-band (quads.py)
+                graph_iri = g_val if g_type == "NamedNode" else "_:" + g_val
             nodes = doc["@graph"]
             for node in nodes if isinstance(nodes, list) else [nodes]:
                 self.node(node, ctx, graph_iri)
@@ -301,7 +302,7 @@ class _Parser:
             if key in _KEYWORDS or key.startswith("@"):
                 if key == "@graph":  # named graph nested under a node @id
                     inner = raw if isinstance(raw, list) else [raw]
-                    g = subj[1] if subj[0] == "NamedNode" else None
+                    g = subj[1] if subj[0] == "NamedNode" else "_:" + subj[1]
                     for n in inner:
                         self.node(n, ctx, g)
                 elif key == "@included":  # extra top-level-like nodes

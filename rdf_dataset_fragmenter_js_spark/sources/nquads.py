@@ -69,7 +69,12 @@ def parse_nquads_lines(lines: DataFrame, text_col: str = "value") -> DataFrame:
             .alias("o"),
             F.when(ext(7) != "", ext(7)).otherwise(F.lit(None).cast("string")).alias("o_datatype"),
             F.when(ext(8) != "", ext(8)).otherwise(F.lit(None).cast("string")).alias("o_lang"),
-            F.when(ext(9) != "", ext(9)).otherwise(F.lit(None).cast("string")).alias("g"),
+            # bnode graph labels keep the '_:' marker in-band (g has no
+            # companion type column — quads.py)
+            F.when(ext(10) != "", F.concat(F.lit("_:"), ext(10)))
+            .when(ext(9) != "", ext(9))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("g"),
             F.monotonically_increasing_id().alias("seq"),
         )
     )
@@ -319,7 +324,9 @@ def serialize_nquads(quads: DataFrame) -> DataFrame:
         term(F.col("s"), F.col("s_type")),
         F.concat(F.lit("<"), F.col("p"), F.lit(">")),
         term(F.col("o"), F.col("o_type"), F.col("o_datatype"), F.col("o_lang")),
-        F.when(F.col("g").isNotNull(), F.concat(F.lit("<"), F.col("g"), F.lit(">"))).otherwise(F.lit(None)),
+        F.when(F.col("g").startswith("_:"), F.col("g"))
+        .when(F.col("g").isNotNull(), F.concat(F.lit("<"), F.col("g"), F.lit(">")))
+        .otherwise(F.lit(None)),
         F.lit("."),
     )
     return quads.withColumn("line", line)

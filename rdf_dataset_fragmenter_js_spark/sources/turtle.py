@@ -20,8 +20,10 @@ anonymous blank nodes and property lists (``[ … ]``), and collections
 (``( … )`` → rdf:first/rest/nil chains). Relative IRIs resolve against the
 active base (RFC 3986, the same resolver as the engine's column path).
 TriG additions: ``GRAPH <g> { … }``, label-prefixed ``<g> { … }`` and
-anonymous ``{ … }`` graph blocks (blank-node graph labels fail fast — the
-quad model carries one nullable graph-IRI column).
+anonymous ``{ … }`` graph blocks; blank-node graph labels (``_:b { … }``,
+``GRAPH _:b``, ``[] { … }``) encode in-band as ``_:<label>`` strings in
+the g column — the same scheme the model uses for s/o bnode labels, with
+the ``_:`` marker kept because g has no companion type column.
 """
 
 from __future__ import annotations
@@ -99,9 +101,10 @@ class TurtleParser:
     Also covers TriG (W3C TriG is a syntactic superset of Turtle): graph
     blocks ``GRAPH <g> { … }``, label-prefixed ``<g> { … }`` and anonymous
     ``{ … }`` (default graph) populate the quad schema's ``g`` column.
-    Blank-node graph LABELS fail fast — the engine's quad model carries a
-    single nullable graph-IRI string (quads.py), the same reason the
-    N-Quads reader maps ``_:g`` graph terms to the default graph."""
+    Blank-node graph LABELS (``_:b { … }``, ``GRAPH _:b``, ANON ``[]``)
+    encode as ``_:<label>`` in g — marker kept in-band because g has no
+    companion type column (quads.py); the N-Quads reader/serializer and
+    the TriG fragment writer share the convention."""
 
     def __init__(self, text: str, base_iri: str | None = None):
         self.text = text
@@ -387,6 +390,13 @@ class TurtleParser:
         self._skip_ws()
         c = self._peek()
         if c == "[":
+            # TriG labelOrSubject allows an ANON graph label: '[] { … }'
+            # opens a graph block named by a fresh blank node
+            anon = re.match(r"\[\s*\]\s*\{", self.text[self.pos :])
+            if anon and not in_graph:
+                self.pos += anon.end() - 1  # leave '{' for the block reader
+                self._read_graph_block("_:" + self._fresh_bnode())
+                return
             label = self._read_bnode_property_list()
             self._skip_ws()
             if self._peek() not in (".", "}"):
@@ -402,11 +412,12 @@ class TurtleParser:
         if m:
             label = self._authored_bnode(self._strip_trailing_dots(m.group(1)))
             if not in_graph and self._peek() == "{":
-                raise NotImplementedError(
-                    "TriG blank-node graph labels are not supported — the "
-                    "engine's quad model carries a single graph-IRI column "
-                    "(quads.py); name the graph with an IRI"
-                )
+                # TriG labelOrSubject: blank-node graph label — encoded
+                # in-band as '_:<label>' in the g column (the same scheme
+                # the model uses for s/o bnodes, marker included because
+                # g has no companion type column)
+                self._read_graph_block("_:" + label)
+                return
             self._read_predicate_object_list("BlankNode", label)
             self._end_statement(in_graph)
             return
@@ -447,12 +458,20 @@ class TurtleParser:
             return False
         self.pos += 5
         self._skip_ws()
-        if self._peek() in ("[", "_"):
-            raise NotImplementedError(
-                "TriG blank-node graph labels are not supported — the engine's "
-                "quad model carries a single graph-IRI column (quads.py); "
-                "name the graph with an IRI"
-            )
+        if self._peek() == "[":  # GRAPH [] { … } — ANON graph label
+            m = re.match(r"\[\s*\]", self.text[self.pos :])
+            if not m:
+                raise self._error("expected '[]' graph label after GRAPH")
+            self.pos += m.end()
+            self._skip_ws()
+            self._read_graph_block("_:" + self._fresh_bnode())
+            return True
+        m = self._match(_BNODE)
+        if m:  # GRAPH _:label { … }
+            label = self._authored_bnode(self._strip_trailing_dots(m.group(1)))
+            self._skip_ws()
+            self._read_graph_block("_:" + label)
+            return True
         iri = self._read_iri()
         if iri is None:
             raise self._error("expected graph IRI after GRAPH")

@@ -57,6 +57,16 @@ def test_nquads_roundtrip(spark, nt_file):
     assert a == b
 
 
+def test_nquads_bnode_graph_label_roundtrip(spark):
+    """A blank-node graph term survives parse → g '_:label' in-band
+    encoding (quads.py) → serialize, byte-identical."""
+    line = "<http://s> <http://p> <http://o> _:g1 ."
+    df = spark.createDataFrame([(line,)], "value string")
+    q = parse_nquads_lines(df)
+    assert [r.g for r in q.collect()] == ["_:g1"]
+    assert [r.line for r in serialize_nquads(q).collect()] == [line]
+
+
 def test_composite_source(spark, nt_file):
     df = read_nquads(spark, nt_file)
     both = composite_source([df, df])

@@ -227,11 +227,29 @@ graph ex:g3 { ex:s5 ex:p [ ex:q ex:v ] }
     assert parse_turtle("<http://s> <http://p> <http://o> .")[0][7] is None
 
 
-def test_trig_bnode_graph_label_fails_fast():
-    with pytest.raises(NotImplementedError, match="graph"):
-        parse_turtle("GRAPH _:g { <http://s> <http://p> <http://o> . }")
-    with pytest.raises(NotImplementedError, match="graph"):
-        parse_turtle("_:g { <http://s> <http://p> <http://o> . }")
+def test_trig_bnode_graph_labels():
+    """Blank-node graph labels encode in-band as '_:<label>' in the g
+    column (quads.py) — GRAPH _:b, bare _:b { }, and ANON [] { } forms."""
+    q = parse_turtle("GRAPH _:g { <http://s> <http://p> <http://o> . }")
+    assert [r[7] for r in q] == ["_:b_g"]
+    q = parse_turtle("_:g { <http://s> <http://p> <http://o> . }")
+    assert [r[7] for r in q] == ["_:b_g"]
+    q = parse_turtle(
+        "GRAPH [] { <http://s> <http://p> <http://o> . }\n"
+        "[] { <http://s2> <http://p> <http://o2> . }\n"
+    )
+    gs = [r[7] for r in q]
+    assert all(g.startswith("_:genid_ttl_") for g in gs) and gs[0] != gs[1]
+    # a bare '[] :p :o .' subject (empty ANON property list) still parses
+    # as a triple, not a graph block
+    q = parse_turtle("[] <http://p> <http://o> .")
+    assert q[0][0] == "BlankNode" and q[0][7] is None
+    # same authored label: s/o occurrences and the graph label are the
+    # SAME blank node (modulo the in-band '_:' marker)
+    q = parse_turtle(
+        "_:g <http://p> <http://o> .\n_:g { <http://s> <http://p> <http://o> . }"
+    )
+    assert q[0][1] == "b_g" and q[1][7] == "_:b_g"
 
 
 def test_trig_errors():
