@@ -44,9 +44,11 @@ def _classify_child(path: str, spark: SparkSession) -> str:
     A target with NO files yet (missing path, empty or pre-created append
     directory, zero-match glob) is a hard error, NOT an N-Quads default: a
     stream fixes its reader at start, so guessing wrong here would silently
-    drop every parsed-format file the producer writes later. An
-    extension-qualified glob (``dir/*.nq``, ``dir/*.ttl``) classifies
-    directly from the pattern and needs no files to exist."""
+    drop every parsed-format file the producer writes later. Two explicit
+    escapes need no files to exist: an extension-qualified glob
+    (``dir/*.nq``, ``dir/*.ttl``) classifies directly from the pattern,
+    and a child-spec ``format`` key (``{"filePath": dir, "format":
+    "nquads"}``) pins the reader outright."""
     from rdf_dataset_fragmenter_js_spark.sources.nquads import _sniff_format
 
     base = path.rstrip("/")
@@ -56,9 +58,30 @@ def _classify_child(path: str, spark: SparkSession) -> str:
         raise ValueError(
             f"stream source {path!r} has no files yet to classify, and a "
             "stream cannot change its reader after start — use an "
-            "extension-qualified path or glob (e.g. dir/*.nq or dir/*.ttl) "
-            "so the serialization is explicit before files arrive"
+            "extension-qualified path or glob (e.g. dir/*.nq or dir/*.ttl), "
+            'or pin the reader with a child-spec format key ({"filePath": '
+            f'{path!r}, "format": "nquads"}}), so the serialization is '
+            "explicit before files arrive"
         ) from e
+
+
+#: child-spec ``format`` values (streaming ingestion readers)
+_STREAM_FORMATS = ("nquads", "turtle", "n3", "rdfxml", "jsonld", "rdfa")
+
+
+def _child_kind(child: dict, spark: SparkSession) -> str:
+    """Streaming reader for one composite child: the explicit ``format``
+    key when given (lets a pre-created EMPTY landing directory stream
+    without extension-qualified globs), else sniffed from the path."""
+    fmt = child.get("format")
+    if fmt is None:
+        return _classify_child(child["filePath"], spark)
+    if fmt not in _STREAM_FORMATS:
+        raise ValueError(
+            f"stream source format {fmt!r} not recognized — expected one "
+            f"of {_STREAM_FORMATS}"
+        )
+    return fmt
 
 from rdf_dataset_fragmenter_js_spark.plans.pipeline import (
     build_strategy,
@@ -108,7 +131,7 @@ def stream_pipeline_spec(
         raise NotImplementedError(
             f"stream_pipeline_spec cannot consume source @type {src['@type']!r}"
         )
-    kinds = [_classify_child(c["filePath"], spark) for c in children]
+    kinds = [_child_kind(c, spark) for c in children]
     sink = spec["quadSink"]
     if sink["@type"] != "QuadSinkFile":
         raise NotImplementedError(

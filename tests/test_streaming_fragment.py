@@ -66,6 +66,42 @@ def test_stream_pipeline_incremental_and_resumable(spark, tmp_path):
     assert spark.read.parquet(out).count() == 3
 
 
+def test_stream_empty_dir_needs_explicit_format(spark, tmp_path):
+    """A pre-created EMPTY landing directory cannot be sniffed (a stream
+    fixes its reader at start) — hard error without a format pin, streams
+    fine with the child-spec ``format`` key."""
+    import pytest
+
+    from rdf_dataset_fragmenter_js_spark.streaming.fragment import (
+        stream_pipeline_spec,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()  # empty at stream start
+    spec = {
+        "quadSource": {"@type": "QuadSourceFile", "filePath": str(src)},
+        "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
+        "quadSink": {
+            "@type": "QuadSinkFile",
+            "outputFormat": "parquet",
+            "iriToPath": {"^http://ex\\.org/": "frags/"},
+        },
+    }
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with pytest.raises(ValueError, match="format"):
+        stream_pipeline_spec(spark, spec, out, ckpt)
+    with pytest.raises(ValueError, match="not recognized"):
+        bad = dict(spec, quadSource=dict(spec["quadSource"], format="hdt"))
+        stream_pipeline_spec(spark, bad, out, ckpt)
+
+    spec["quadSource"]["format"] = "nquads"
+    (src / "a.nq").write_text(
+        "<http://ex.org/s1> <http://ex.org/p> <http://ex.org/o1> .\n"
+    )
+    _await(stream_pipeline_spec(spark, spec, out, ckpt))
+    assert spark.read.parquet(out).count() == 1
+
+
 def test_stream_composite_sources_and_nquads_sink(spark, tmp_path):
     """Round-3 breadth: a QuadSourceComposite of two append-only dirs (one
     with baseIRI) streamed into the per-fragment N-Quads file layout, with
