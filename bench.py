@@ -56,6 +56,11 @@ def build_spark(cpus: int):
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # measured sweep at local[32] (BENCH.md "8→32 deep-dive"): 20000
+        # is stable 6.95-7.3s on the extract stage where the 10000 default
+        # swings 6.98-9.78s; 60000 regresses ~2x (memory pressure), 4000
+        # pays per-batch overhead. ~12 MB/batch at ~600 B/page.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .getOrCreate()
     )
 
@@ -121,11 +126,21 @@ def main():
     import __spark_entry__ as entrymod
 
     qfns = entrymod.queries()
+    # Interleaved trials (VERDICT r4 #7): this sandbox host swings 2-4x
+    # across windows for identical plans, so a single pass is noise. Run
+    # the WHOLE headline list N times in round-robin (interleaving decor-
+    # relates a contention window from any one query) and report the min
+    # per query — noise is additive, so min estimates capacity.
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        materialize(qfns[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(trials):
+        for name in HEADLINE:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            materialize(qfns[name](spark, sf_dir))
+            sec = round(time.time() - t0, 3)
+            if name not in timings or sec < timings[name]:
+                timings[name] = sec
 
     tps, n_triples, kg_sec, frag_metrics = kg_throughput(spark, sf)
     timings["kg_pipeline"] = round(kg_sec, 3)
@@ -142,6 +157,7 @@ def main():
         "kg_triples": n_triples,
         "kg_fragments": frag_metrics["fragments"],
         "cpus": cpus,
+        "trials": trials,
     }
     print(json.dumps(out))
     spark.stop()

@@ -34,6 +34,8 @@ from rdf_dataset_fragmenter_js_spark.functions.iri import resolve_iri
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 XSD = "http://www.w3.org/2001/XMLSchema#"
+LOG_NS = "http://www.w3.org/2000/10/swap/log#"  # N3 '=>' / '<=' verbs
+OWL_NS = "http://www.w3.org/2002/07/owl#"  # N3 '=' verb
 
 _IRIREF = re.compile(r'<([^<>"{}|^`\\\x00-\x20]*)>')
 _BNODE = re.compile(r"_:([A-Za-z0-9_][A-Za-z0-9_.\-]*)")
@@ -106,7 +108,7 @@ class TurtleParser:
     companion type column (quads.py); the N-Quads reader/serializer and
     the TriG fragment writer share the convention."""
 
-    def __init__(self, text: str, base_iri: str | None = None):
+    def __init__(self, text: str, base_iri: str | None = None, n3: bool = False):
         self.text = text
         self.pos = 0
         self.len = len(text)
@@ -114,7 +116,12 @@ class TurtleParser:
         self.prefixes: dict[str, str] = {}
         self.quads: list[tuple] = []
         self._bnode_n = 0
-        self.graph: str | None = None  # active TriG graph IRI
+        self.graph: str | None = None  # active TriG graph / N3 formula
+        #: N3 mode: '{ … }' is a FORMULA term (quoted graph named by a
+        #: fresh bnode, n3.js semantics), never a TriG graph block; the
+        #: verbs '=>' / '<=' (log:implies, reversed) and '=' (owl:sameAs)
+        #: are recognized
+        self.n3 = n3
 
     # -- lexing helpers ----------------------------------------------------
 
@@ -284,10 +291,34 @@ class TurtleParser:
             (s_type, s, p, o_type, o, dt, lang, self.graph, len(self.quads))
         )
 
+    def _read_formula(self) -> str:
+        """N3 formula '{ … }': contents are quoted into a fresh bnode-named
+        graph ('_:<label>' in the g column) and the formula participates in
+        the enclosing statement as that blank node — n3.js's projection of
+        N3 onto RDF/JS quads. Nestable (graph save/restore)."""
+        self._expect("{")
+        label = self._fresh_bnode()
+        outer = self.graph
+        self.graph = "_:" + label
+        try:
+            while True:
+                self._skip_ws()
+                if self._peek() == "}":
+                    break
+                if self.pos >= self.len:
+                    raise self._error("unterminated formula (expected '}')")
+                self._read_triples(in_graph=True)
+        finally:
+            self.graph = outer
+        self._expect("}")
+        return label
+
     def _read_object_term(self):
         """Full object handling including collections (which emit quads and
         return their head term)."""
         self._skip_ws()
+        if self.n3 and self._peek() == "{":
+            return ("BlankNode", self._read_formula(), None, None)
         if self._peek() == "(":
             self._expect("(")
             items = []
@@ -314,24 +345,41 @@ class TurtleParser:
         self._expect("]")
         return label
 
-    def _read_verb(self) -> str:
+    def _read_verb(self) -> tuple[str, bool]:
+        """Verb → (predicate IRI, reversed). ``reversed`` only in N3 mode
+        for '<=' (``B <= A`` states ``A log:implies B``, n3.js)."""
         self._skip_ws()
         if self.text.startswith("a", self.pos) and not re.match(
             r"[A-Za-z0-9_:\-]", self.text[self.pos + 1 : self.pos + 2] or " "
         ):
             self.pos += 1
-            return RDF_NS + "type"
+            return RDF_NS + "type", False
+        if self.n3:
+            if self.text.startswith("=>", self.pos):
+                self.pos += 2
+                return LOG_NS + "implies", False
+            if self.text.startswith("<=", self.pos):
+                # must be checked BEFORE IRIREF: '<=' would otherwise lex
+                # as an IRI open bracket
+                self.pos += 2
+                return LOG_NS + "implies", True
+            if self.text.startswith("=", self.pos):
+                self.pos += 1
+                return OWL_NS + "sameAs", False
         iri = self._read_iri()
         if iri is None:
             raise self._error("expected predicate")
-        return iri
+        return iri, False
 
     def _read_predicate_object_list(self, s_type: str, s: str) -> None:
         while True:
-            p = self._read_verb()
+            p, reverse = self._read_verb()
             while True:
                 o_type, o, dt, lang = self._read_object_term()
-                self._emit(s_type, s, p, o_type, o, dt, lang)
+                if reverse:
+                    self._emit(o_type, o, p, s_type, s, None, None)
+                else:
+                    self._emit(s_type, s, p, o_type, o, dt, lang)
                 self._skip_ws()
                 if self._peek() == ",":
                     self._expect(",")
@@ -389,11 +437,17 @@ class TurtleParser:
     def _read_triples(self, in_graph: bool = False) -> None:
         self._skip_ws()
         c = self._peek()
+        if self.n3 and c == "{":
+            # N3 formula as SUBJECT: '{ … } => { … } .'
+            label = self._read_formula()
+            self._read_predicate_object_list("BlankNode", label)
+            self._end_statement(in_graph)
+            return
         if c == "[":
             # TriG labelOrSubject allows an ANON graph label: '[] { … }'
             # opens a graph block named by a fresh blank node
             anon = re.match(r"\[\s*\]\s*\{", self.text[self.pos :])
-            if anon and not in_graph:
+            if anon and not in_graph and not self.n3:
                 self.pos += anon.end() - 1  # leave '{' for the block reader
                 self._read_graph_block("_:" + self._fresh_bnode())
                 return
@@ -411,7 +465,7 @@ class TurtleParser:
         m = self._match(_BNODE)
         if m:
             label = self._authored_bnode(self._strip_trailing_dots(m.group(1)))
-            if not in_graph and self._peek() == "{":
+            if not in_graph and not self.n3 and self._peek() == "{":
                 # TriG labelOrSubject: blank-node graph label — encoded
                 # in-band as '_:<label>' in the g column (the same scheme
                 # the model uses for s/o bnodes, marker included because
@@ -424,7 +478,7 @@ class TurtleParser:
         iri = self._read_iri()
         if iri is None:
             raise self._error("expected subject")
-        if not in_graph and self._peek() == "{":
+        if not in_graph and not self.n3 and self._peek() == "{":
             self._read_graph_block(iri)  # TriG: '<g> { … }' without GRAPH
             return
         self._read_predicate_object_list("NamedNode", iri)
@@ -486,11 +540,12 @@ class TurtleParser:
                 return self.quads
             if self._read_directive():
                 continue
-            if self._peek() == "{":  # TriG anonymous default-graph block
-                self._read_graph_block(None)
-                continue
-            if self._read_graph_keyword():
-                continue
+            if not self.n3:
+                if self._peek() == "{":  # TriG anonymous default-graph block
+                    self._read_graph_block(None)
+                    continue
+                if self._read_graph_keyword():
+                    continue
             self._read_triples()
 
 
@@ -501,12 +556,13 @@ def parse_turtle(text: str, base_iri: str | None = None) -> list[tuple]:
 
 
 def _scan_n3_only_tokens(text: str) -> str | None:
-    """Return the first N3-ONLY construct in ``text`` (outside strings,
-    IRIs and comments), or None if the document stays inside the Turtle
-    subset. Formulas/rules/quantification have no RDF-quad projection, so
-    they must fail fast rather than mis-parse (``{`` would otherwise hit
-    the TriG graph-block path and silently build a named graph out of a
-    formula)."""
+    """Return the first UNSUPPORTED N3 construct in ``text`` (outside
+    strings, IRIs and comments), or None. Formulas ('{ … }'), '=>' / '<='
+    / '=' verbs are supported by the grammar (n3.js-style quad
+    projection); what remains outside the subset is explicit
+    quantification, '@keywords', and ?-variables — constructs whose
+    meaning a quad stream cannot carry — which fail fast as a structured
+    error instead of mis-parsing."""
     i, n = 0, len(text)
     while i < n:
         c = text[i]
@@ -515,7 +571,8 @@ def _scan_n3_only_tokens(text: str) -> str | None:
             i = n if j < 0 else j + 1
         elif c == "<":
             if text.startswith("<=", i):
-                return "<= (implication)"
+                i += 2  # implication verb, handled by the grammar
+                continue
             j = text.find(">", i)
             i = n if j < 0 else j + 1
         elif c in "\"'":
@@ -532,12 +589,8 @@ def _scan_n3_only_tokens(text: str) -> str | None:
             i = j
         elif c == "\\":
             i += 2  # PN_LOCAL escape (ex:a\=b is legal Turtle), not a token
-        elif c in "{}":
-            return c + " (formula)"
-        elif text.startswith("=>", i):
-            return "=> (implication)"
-        elif c == "=":
-            return "= (owl:sameAs shorthand)"
+        elif c == "?":
+            return "?-variable (implicit universal quantification)"
         elif c == "@":
             for kw in ("@forAll", "@forSome", "@keywords"):
                 if text.startswith(kw, i):
@@ -549,19 +602,23 @@ def _scan_n3_only_tokens(text: str) -> str | None:
 
 
 def parse_n3(text: str, base_iri: str | None = None) -> list[tuple]:
-    """Parse the Turtle-compatible subset of Notation3 (the slice of N3
-    that actually carries RDF statements — what rdf-parse's text/n3 path
-    yields quads for; QuadSourceFile.ts:19-25). N3-only logic constructs
-    (formulas, implications, quantifiers) have no quad projection and
-    fail fast with the offending token."""
+    """Parse Notation3 — the slice of N3 that projects onto RDF quads,
+    matching what rdf-parse's text/n3 path (n3.js) yields
+    (QuadSourceFile.ts:19-25): the full Turtle grammar, plus formulas
+    ('{ … }' quoted graphs, named by fresh blank nodes in the g column and
+    participating in the outer statement as that bnode term), the
+    implication verbs '=>' / '<=' (log:implies, '<=' reversed), and '='
+    (owl:sameAs). N3 constructs whose semantics a quad stream cannot carry
+    — '@forAll' / '@forSome' / '@keywords' and ?-variables — fail fast
+    with the offending token."""
     bad = _scan_n3_only_tokens(text)
     if bad is not None:
         raise NotImplementedError(
-            f"N3 construct {bad} is outside the Turtle-compatible subset "
-            "this engine parses — N3 logic (formulas/rules) does not "
-            "project onto RDF quads"
+            f"N3 construct {bad} is outside the quad-projectable subset "
+            "this engine parses — quantified N3 logic does not project "
+            "onto RDF quads"
         )
-    return TurtleParser(text, base_iri=base_iri).parse()
+    return TurtleParser(text, base_iri=base_iri, n3=True).parse()
 
 
 def read_n3(spark, path: str, base_iri: str | None = None):

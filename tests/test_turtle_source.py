@@ -289,17 +289,54 @@ def test_n3_turtle_subset():
     assert any(q[2].endswith("#first") for q in quads)
 
 
-def test_n3_logic_constructs_fail_fast():
+def test_n3_formulas_implications_and_sameas():
+    """N3 formulas project onto quads the way n3.js does: contents quoted
+    into a fresh bnode-named graph ('_:<label>' in g), the formula term
+    participating in the outer statement as that bnode; '=>' / '<=' are
+    log:implies (reversed for '<='); '=' is owl:sameAs."""
+    from rdf_dataset_fragmenter_js_spark.sources.turtle import parse_n3
+
+    LOG = "http://www.w3.org/2000/10/swap/log#"
+    OWL = "http://www.w3.org/2002/07/owl#"
+    base = "@prefix ex: <http://ex.org/> .\n"
+
+    q = parse_n3(base + "ex:x ex:says { ex:a ex:b ex:c . ex:d ex:e ex:f } .\n")
+    says = next(r for r in q if r[2] == "http://ex.org/says")
+    assert says[3] == "BlankNode"
+    inner = [r for r in q if r[7] == "_:" + says[4]]
+    assert {(r[1], r[4]) for r in inner} == {
+        ("http://ex.org/a", "http://ex.org/c"),
+        ("http://ex.org/d", "http://ex.org/f"),
+    }
+
+    q = parse_n3(base + "{ ex:p ex:q ex:r } => { ex:s ex:t ex:u } .\n")
+    imp = next(r for r in q if r[2] == LOG + "implies")
+    assert ("http://ex.org/p", "_:" + imp[1]) in {(r[1], r[7]) for r in q}
+    assert ("http://ex.org/s", "_:" + imp[4]) in {(r[1], r[7]) for r in q}
+
+    # '<=' states the converse: consequent <= antecedent
+    q = parse_n3(base + "{ ex:h ex:i ex:j } <= { ex:k ex:l ex:m } .\n")
+    imp = next(r for r in q if r[2] == LOG + "implies")
+    assert ("http://ex.org/k", "_:" + imp[1]) in {(r[1], r[7]) for r in q}
+    assert ("http://ex.org/h", "_:" + imp[4]) in {(r[1], r[7]) for r in q}
+
+    q = parse_n3(base + "ex:x = ex:y .\n")
+    assert [(r[1], r[2], r[4]) for r in q] == [
+        ("http://ex.org/x", OWL + "sameAs", "http://ex.org/y")
+    ]
+
+
+def test_n3_quantification_fails_fast():
     import pytest as _pytest
 
     from rdf_dataset_fragmenter_js_spark.sources.turtle import parse_n3
 
     base = "@prefix ex: <http://ex.org/> .\n"
     for doc, tok in [
-        (base + "{ ex:a ex:b ex:c } => { ex:d ex:e ex:f } .\n", "formula"),
-        (base + "ex:a ex:b ex:c . ex:x = ex:y .\n", "sameAs"),
         (base + "@forAll ex:x .\n", "@forAll"),
         (base + "@forSome ex:x .\n", "@forSome"),
+        (base + "?x ex:b ex:c .\n", "variable"),
+        ("@keywords a .\n", "@keywords"),
     ]:
         with _pytest.raises(NotImplementedError, match=tok):
             parse_n3(doc)
