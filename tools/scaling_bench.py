@@ -199,6 +199,36 @@ Distributed-path timings: see the section below (if present), produced by
 `python tools/distributed_paths_bench.py`.
 """
         )
+        # Cross-window history: the shared host's OWN capacity swings by
+        # window (the probe column proves it), so one degraded window must
+        # not erase earlier evidence — every run appends a row; read
+        # job-vs-ceiling per row, not job-vs-0.8 in the worst window.
+        hist_head = "\n## Scaling window history (job eff | host ceiling per pair)\n"
+        row = (
+            "| "
+            + time.strftime("%Y-%m-%d %H:%M")
+            + " | "
+            + " | ".join(
+                f"{effs[f'{lo}->{hi}']:.3f} / {hw[f'{lo}->{hi}']['host_capacity_efficiency']:.2f}"
+                for lo, hi in pairs
+            )
+            + " |\n"
+        )
+        if hist_head not in tail:
+            pair_heads = " | ".join(f"{lo}→{hi}" for lo, hi in pairs)
+            tail = (
+                hist_head
+                + f"\n| window (UTC) | {pair_heads} |\n|---|"
+                + "---|" * len(pairs)
+                + "\n"
+                + row
+                + tail
+            )
+        else:
+            pos = tail.index(hist_head) + len(hist_head)
+            nl = tail.index("\n|---", pos)
+            nl = tail.index("\n", nl + 1) + 1
+            tail = tail[:nl] + row + tail[nl:]
         f.write(tail)
     print("wrote BENCH.md")
 
