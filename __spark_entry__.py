@@ -402,15 +402,17 @@ def q_source_n3_roundtrip(spark, sf_dir):
 
 
 #: A fixed @inlist block PREPENDED to every rdfa_roundtrip file: two
-#: literal list items + one rel-resource list. First in <body>, so the
-#: rdf:first/rdf:rest chain bnodes get deterministic labels
+#: literal list items + one rel-resource list + one rdf:XMLLiteral
+#: (verbatim inner-markup capture, entities unexpanded). First in <body>,
+#: so the rdf:first/rdf:rest chain bnodes get deterministic labels
 #: genid_rdfa_{1,2,3} (per-file salted to f{i}_genid_rdfa_N by the
-#: distributed reader); the oracle hardcodes the same 8 rows per file.
+#: distributed reader); the oracle hardcodes the same 9 rows per file.
 _RDFA_INLIST_BLOCK = (
     '<div about="http://lists.example/s" prefix="lx: http://lists.example/">'
     '<span inlist property="lx:items" content="one"></span>'
     '<span inlist property="lx:items" content="two"></span>'
     '<link inlist rel="lx:links" href="http://lists.example/o1">'
+    '<div property="lx:note" datatype="rdf:XMLLiteral">one <b>two</b> &amp; three</div>'
     "</div>"
 )
 
@@ -418,11 +420,11 @@ _RDFA_INLIST_BLOCK = (
 def q_source_rdfa_roundtrip(spark, sf_dir):
     """RDFa source e2e: the order quads rendered as RDFa-annotated HTML
     (meta/@content for literals; resource objects rotate property= / rel=
-    / hanging-rel shapes) across 4 .html files, each with a fixed @inlist
-    block, read back through read_rdf's extension dispatch
-    (sources/rdfa.py) — drives CURIE-free attribute processing, void
-    elements, §7.5 incomplete-triple chaining, rdf:List generation, and
-    the distributed multi-file parse."""
+    / hanging-rel shapes) across 4 .html files, each with a fixed
+    @inlist + rdf:XMLLiteral block, read back through read_rdf's extension
+    dispatch (sources/rdfa.py) — drives CURIE-free attribute processing,
+    void elements, §7.5 incomplete-triple chaining, rdf:List generation,
+    verbatim XML-literal capture, and the distributed multi-file parse."""
     import os
     import tempfile
 
@@ -1732,7 +1734,8 @@ def oracle_sql() -> dict[str, str]:
               ('NamedNode', 'http://lists.example/s', 'http://lists.example/items', 'BlankNode', 'genid_rdfa_1', NULL, NULL),
               ('BlankNode', 'genid_rdfa_3', '{RDF_TYPE.rsplit("#", 1)[0]}#first', 'NamedNode', 'http://lists.example/o1',      NULL, NULL),
               ('BlankNode', 'genid_rdfa_3', '{RDF_TYPE.rsplit("#", 1)[0]}#rest',  'NamedNode', '{RDF_TYPE.rsplit("#", 1)[0]}#nil', NULL, NULL),
-              ('NamedNode', 'http://lists.example/s', 'http://lists.example/links', 'BlankNode', 'genid_rdfa_3', NULL, NULL)
+              ('NamedNode', 'http://lists.example/s', 'http://lists.example/links', 'BlankNode', 'genid_rdfa_3', NULL, NULL),
+              ('NamedNode', 'http://lists.example/s', 'http://lists.example/note', 'Literal', 'one <b>two</b> &amp; three', '{RDF_TYPE.rsplit("#", 1)[0]}#XMLLiteral', NULL)
             )
             SELECT s_type, s, p, o_type, o, o_datatype, o_lang FROM quads
             UNION ALL

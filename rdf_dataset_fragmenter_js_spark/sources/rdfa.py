@@ -47,11 +47,17 @@ Coverage — RDFa 1.1 **Lite** plus the attributes real markup leans on:
   owning element closes; a hanging ``rel inlist`` stores a
   list-direction incomplete triple completed by descendant subjects.
 
-The one deliberate fail-fast: ``datatype="rdf:XMLLiteral"`` (serializing
-the inner markup verbatim is out of scope; a text-content literal would
-silently diverge from the reference). Unknown *terms* (a bare
-``property="foo"`` with no in-scope ``vocab``) are dropped like the
-spec's term-expansion failure, not errors.
+* ``datatype="rdf:XMLLiteral"`` (Core §7.5 step 11 "as an XML literal"):
+  the value is the **verbatim raw inner markup** between the element's
+  start tag and its matching end tag (captured by offset into the raw
+  document — entity references stay unexpanded, exactly as authored);
+  ``@content`` is not consulted, and descendants are still processed
+  normally (RDFa 1.1 dropped 1.0's descendant suppression). No exclusive
+  canonicalization is applied — the literal is the authored byte slice,
+  matching a streaming parser's behavior on already-serialized HTML.
+
+Unknown *terms* (a bare ``property="foo"`` with no in-scope ``vocab``)
+are dropped like the spec's term-expansion failure, not errors.
 """
 
 from __future__ import annotations
@@ -130,6 +136,7 @@ class _Scope:
         "vocab",
         "lang",
         "literal",
+        "xml_start",
         "incomplete",
         "list_mapping",
         "owns_list",
@@ -146,6 +153,10 @@ class _Scope:
         #: open text-content literal:
         #: (subject, [preds], datatype, lang, inlist_mapping_or_None, buf)
         self.literal = None
+        #: rdf:XMLLiteral capture: absolute offset (into the raw document)
+        #: of the first char AFTER this element's start tag; the literal
+        #: value is the verbatim raw slice up to its matching end tag
+        self.xml_start = None
         #: incomplete triples for children: [(pred_or_list, direction)]
         #: with direction in {"forward", "reverse", "list"} (§7.5 step 10)
         self.incomplete: list = []
@@ -164,6 +175,16 @@ class _RdfaParser(QuadHtmlParser):
     def __init__(self, base_iri: str | None):
         super().__init__(base_iri)
         self._bnode_map: dict[str, str] = {}
+        # raw-document bookkeeping for rdf:XMLLiteral (verbatim inner
+        # markup, Core §7.5 step 11): the accumulated raw text, a lazily
+        # built line-start index mapping getpos() → absolute offset, the
+        # end offset to flush open XML literals against, and a count of
+        # open XML-literal scopes so non-XMLLiteral documents never pay
+        # for the position bookkeeping
+        self._raw = ""
+        self._line_starts: list[int] | None = None
+        self._xml_flush_end = 0
+        self._xml_open = 0
         # the document node: its IRI when a base is known, else a blank
         # node (read_driver_parsed always passes the file URI as base)
         self._doc = (
@@ -175,6 +196,33 @@ class _RdfaParser(QuadHtmlParser):
         root = _Scope(None, self._doc, self._doc, dict(INITIAL_CONTEXT), None, None)
         root.list_subject = self._doc
         self.stack.append(root)
+
+    # -- raw-offset machinery (rdf:XMLLiteral) ------------------------------
+
+    def feed(self, data):
+        self._raw += data
+        self._line_starts = None
+        super().feed(data)
+
+    def _abs_pos(self) -> int:
+        """Absolute offset into the raw document of the token the parser
+        is currently positioned at (``getpos()`` is (1-based line, col))."""
+        if self._line_starts is None:
+            starts = [0]
+            idx = self._raw.find("\n")
+            while idx != -1:
+                starts.append(idx + 1)
+                idx = self._raw.find("\n", idx + 1)
+            self._line_starts = starts
+        lineno, col = self.getpos()
+        return self._line_starts[lineno - 1] + col
+
+    def handle_endtag(self, tag):
+        if self._xml_open:
+            # getpos() points at the '<' of this end tag — the exclusive
+            # end of any XML literal the base-class pop is about to flush
+            self._xml_flush_end = self._abs_pos()
+        super().handle_endtag(tag)
 
     # -- term machinery ----------------------------------------------------
 
@@ -303,11 +351,6 @@ class _RdfaParser(QuadHtmlParser):
         datatype = (
             self._term_or_curie(a["datatype"], scope) if a.get("datatype") else None
         )
-        if datatype == RDF_NS + "XMLLiteral":
-            raise NotImplementedError(
-                "datatype rdf:XMLLiteral (verbatim inner-markup literals) "
-                "is outside the subset this engine parses"
-            )
         content = a.get("content")
         if content is None and tag == "time" and "datetime" in a:
             # HTML+RDFa §3.1: @datetime acts as @content, with lexical
@@ -415,7 +458,20 @@ class _RdfaParser(QuadHtmlParser):
             value = None  # resource-valued property: (type, value)
             lit = None  # immediate literal: (text, datatype, lang)
             defer = False  # literal from text content, filled at end tag
-            if datatype_attr:
+            if datatype == RDF_NS + "XMLLiteral":
+                # step 11 "as an XML literal": the value is the verbatim
+                # serialization of the element's children (@content is NOT
+                # consulted — the XML-literal rule precedes the @content
+                # rules); captured as the raw slice between this start tag
+                # and its matching end tag. Descendants are still
+                # processed normally (RDFa 1.1 dropped 1.0's suppression).
+                mapping = scope.list_mapping if inlist else None
+                scope.literal = (new_subject, props, datatype, None, mapping, [])
+                scope.xml_start = self._abs_pos() + len(
+                    self.get_starttag_text() or ""
+                )
+                self._xml_open += 1
+            elif datatype_attr:
                 # a resolving @datatype → typed literal; empty/unresolvable
                 # @datatype → plain literal — either way a literal, even
                 # with @resource present (step 11's rule order)
@@ -480,7 +536,18 @@ class _RdfaParser(QuadHtmlParser):
     def _flush_literal(self, scope: _Scope):
         if scope.literal is not None:
             subject, props, datatype, lang, mapping, buf = scope.literal
-            text = "".join(buf)
+            if scope.xml_start is not None:
+                # XML literal: verbatim raw inner markup. A void /
+                # self-closing element flushes before any end tag moved
+                # _xml_flush_end past its start — the max() clamp yields
+                # the empty serialization in that case.
+                text = self._raw[
+                    scope.xml_start : max(self._xml_flush_end, scope.xml_start)
+                ]
+                scope.xml_start = None
+                self._xml_open -= 1
+            else:
+                text = "".join(buf)
             for p in props:
                 if mapping is not None:  # @inlist literal joins the list
                     mapping.setdefault(p, []).append(
@@ -519,6 +586,9 @@ class _RdfaParser(QuadHtmlParser):
         mapping.clear()
 
     def close(self):
+        # any XML literal still open at EOF (unclosed element) captures
+        # through the end of the document — lenient-recovery semantics
+        self._xml_flush_end = len(self._raw)
         super().close()
         root = self.stack[0]
         if root.list_mapping:
@@ -638,6 +708,15 @@ def serialize_rdfa(rows: list[tuple]) -> str:
             )
         about, prop = esc(ref(s_type, s)), esc(p)
         if o_type == "Literal":
+            if dt == RDF_NS + "XMLLiteral":
+                # XML literals serialize as the element's raw inner markup
+                # (parse_rdfa captures it verbatim); the value must itself
+                # be well-formed markup that contains no stray `</div>`
+                parts.append(
+                    f'<div about="{about}" property="{prop}" '
+                    f'datatype="{esc(dt)}">{o}</div>'
+                )
+                continue
             attrs = f' datatype="{esc(dt)}"' if dt else ""
             if lang:
                 attrs += f' lang="{lang}"'

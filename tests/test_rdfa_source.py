@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 from rdf_dataset_fragmenter_js_spark.sources.nquads import read_rdf
-from rdf_dataset_fragmenter_js_spark.sources.rdfa import parse_rdfa
+from rdf_dataset_fragmenter_js_spark.sources.rdfa import parse_rdfa, serialize_rdfa
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -260,13 +260,69 @@ def test_hanging_rel_inlist_uncompleted_is_nil():
     ]
 
 
-def test_xmlliteral_datatype_fails_fast():
-    with pytest.raises(NotImplementedError, match="XMLLiteral"):
-        parse_rdfa(
-            '<div about="http://ex.org/s" property="http://ex.org/p"'
-            ' datatype="rdf:XMLLiteral"><b>markup</b></div>',
-            base_iri=B,
+def test_xmlliteral_captures_verbatim_inner_markup():
+    """Core §7.5 step 11 "as an XML literal": the value is the raw inner
+    markup — tags intact, entity references unexpanded — and @content is
+    not consulted."""
+    rows = parse_rdfa(
+        '<div about="http://ex.org/s" property="http://ex.org/p"'
+        ' content="IGNORED" datatype="rdf:XMLLiteral">one <b>two</b>'
+        " &amp; three</div>",
+        base_iri=B,
+    )
+    assert [(r[1], r[2], r[4], r[5]) for r in rows] == [
+        (
+            "http://ex.org/s",
+            "http://ex.org/p",
+            "one <b>two</b> &amp; three",
+            RDF_NS + "XMLLiteral",
         )
+    ]
+
+
+def test_xmlliteral_descendants_still_processed():
+    """RDFa 1.1 dropped 1.0's descendant suppression: children inside an
+    XML literal still emit their own triples, and the literal keeps their
+    markup verbatim (including nested same-name tags)."""
+    rows = parse_rdfa(
+        '<div about="http://ex.org/s" property="http://ex.org/p"'
+        ' datatype="rdf:XMLLiteral">a<div property="http://ex.org/q"'
+        ' content="c"></div>b</div>',
+        base_iri=B,
+    )
+    assert (
+        "http://ex.org/s",
+        "http://ex.org/q",
+        "c",
+    ) in [(r[1], r[2], r[4]) for r in rows]
+    xml = next(r for r in rows if r[5] == RDF_NS + "XMLLiteral")
+    assert xml[4] == 'a<div property="http://ex.org/q" content="c"></div>b'
+
+
+def test_xmlliteral_on_void_element_is_empty():
+    rows = parse_rdfa(
+        '<meta about="http://ex.org/s" property="http://ex.org/p"'
+        ' datatype="rdf:XMLLiteral">',
+        base_iri=B,
+    )
+    assert [(r[4], r[5]) for r in rows] == [("", RDF_NS + "XMLLiteral")]
+
+
+def test_xmlliteral_roundtrips_through_serializer():
+    rows = [
+        (
+            "NamedNode",
+            "http://ex.org/s",
+            "http://ex.org/p",
+            "Literal",
+            "one <b>two</b> &amp; x",
+            RDF_NS + "XMLLiteral",
+            None,
+            None,
+        )
+    ]
+    back = parse_rdfa(serialize_rdfa(rows))
+    assert [tuple(r[:8]) for r in back] == rows
 
 
 def test_read_rdf_dispatches_html_e2e(spark, tmp_path):
