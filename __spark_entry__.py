@@ -1575,7 +1575,10 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN q.o_type = 'NamedNode' THEN coalesce(mo.mapped, q.o) ELSE q.o END AS o
             FROM quads q
             LEFT JOIN mapping ms ON q.s = ms.res
-            LEFT JOIN mapping mo ON q.o = mo.res AND q.o_type = 'NamedNode'
+            -- o_type guard lives in the CASE, not the ON: a one-sided ON
+            -- conjunct makes DuckDB nested-loop the left join; mapping.res
+            -- is unique so the unguarded join cannot duplicate rows
+            LEFT JOIN mapping mo ON q.o = mo.res
         """,
         "transform_clone": f"""
             WITH quads AS ({_ORDER_QUADS})
@@ -1583,6 +1586,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT s, p, o_type, o FROM quads
         """,
+        # Join conditions keep only cross-table equalities: a one-sided
+        # conjunct (q.o_type = 'BlankNode') inside a LEFT JOIN's ON forces
+        # DuckDB into a BLOCKWISE_NL_JOIN (quadratic — 790 s at sf0.1); the
+        # one-sided guards live in the CASE/WHERE instead, which preserves
+        # the output exactly: seq is unique per row (the documented
+        # first-occurrence identity), so the (o, seq)=(bnode, first_seq)
+        # match IS the minting row, and fo.bnode is unique, so neither
+        # left join can duplicate rows.
         "transform_blank_to_fragment": f"""
             WITH quads AS ({_BNODE_QUADS}),
             fo AS (
@@ -1594,17 +1605,19 @@ def oracle_sql() -> dict[str, str]:
             ),
             obj_rewritten AS (
               SELECT q.s_type, q.s, q.p,
-                     CASE WHEN f.bnode IS NOT NULL THEN 'NamedNode' ELSE q.o_type END AS o_type,
-                     CASE WHEN f.bnode IS NOT NULL THEN f.fragment_iri ELSE q.o END AS o
+                     CASE WHEN f.bnode IS NOT NULL AND q.o_type = 'BlankNode'
+                          THEN 'NamedNode' ELSE q.o_type END AS o_type,
+                     CASE WHEN f.bnode IS NOT NULL AND q.o_type = 'BlankNode'
+                          THEN f.fragment_iri ELSE q.o END AS o
               FROM quads q
               LEFT JOIN fo f
-                ON q.o = f.bnode AND q.seq = f.first_seq AND q.o_type = 'BlankNode'
+                ON q.o = f.bnode AND q.seq = f.first_seq
             )
             SELECT CASE WHEN r.s_type = 'BlankNode' THEN 'NamedNode' ELSE r.s_type END AS s_type,
                    CASE WHEN r.s_type = 'BlankNode' THEN f2.fragment_iri ELSE r.s END AS s,
                    r.p, r.o_type, r.o
             FROM obj_rewritten r
-            LEFT JOIN fo f2 ON r.s = f2.bnode AND r.s_type = 'BlankNode'
+            LEFT JOIN fo f2 ON r.s = f2.bnode
             WHERE r.s_type <> 'BlankNode' OR f2.bnode IS NOT NULL
         """,
         "matcher_resource_type": f"""
@@ -1675,7 +1688,8 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN q.o_type = 'NamedNode' THEN coalesce(mo.mapped, q.o) ELSE q.o END AS o
             FROM quads q
             LEFT JOIN mapping ms ON q.s = ms.res
-            LEFT JOIN mapping mo ON q.o = mo.res AND q.o_type = 'NamedNode'
+            -- CASE-guarded, not ON-guarded: see transform_remap_resource
+            LEFT JOIN mapping mo ON q.o = mo.res
         """,
         "transform_solid_type_index": f"""
             WITH quads AS ({_ORDER_QUADS}),
