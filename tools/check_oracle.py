@@ -49,7 +49,9 @@ def main():
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        # collect()-side heap: the sf1 evidence run (tools/make_bigsf.py)
+        # pulls up to ~28M oracle rows through the driver
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
 
