@@ -19,6 +19,12 @@ Replication rules (TPC-H semantics):
   otherwise every document would gain ``factor-1`` cross-copy clones and
   pair-producing dedup operators would grow quadratically BY SEMANTICS,
   which would contaminate the superlinearity check;
+* ``embeddings.embedding`` vectors get a per-copy DIMENSION PERMUTATION
+  (seeded, copy 0 untouched): within one copy every pairwise dot product
+  and norm is preserved exactly (same near-dup clusters, same top-k
+  structure), while cross-copy cosines drop to ~N(0, 1/d) noise — the
+  same within-copy-clusters property the text suffix gives documents,
+  for the same reason;
 * each copy is written as its own parquet row group, so the scan is
   splittable without the register_views repartition crutch.
 
@@ -101,6 +107,19 @@ def main():
                         )
                     elif t == "documents" and name == "n_chars" and i:
                         col = pc.add(col, len(f" c{i}"))
+                    elif t == "embeddings" and name == "embedding" and i:
+                        import numpy as np
+
+                        arrs = col.combine_chunks()
+                        if isinstance(arrs, pa.ChunkedArray):
+                            arrs = arrs.chunk(0)
+                        flat = arrs.flatten().to_numpy(zero_copy_only=False)
+                        d = len(arrs[0])
+                        perm = np.random.default_rng(9_000_000 + i).permutation(d)
+                        mat = flat.reshape(-1, d)[:, perm]
+                        col = pa.FixedSizeListArray.from_arrays(
+                            pa.array(mat.reshape(-1), type=pa.float32()), d
+                        ).cast(tab.schema.field(name).type)
                     cols.append(col)
                 w.write_table(
                     pa.table(dict(zip(tab.schema.names, cols)), schema=tab.schema)
