@@ -98,8 +98,9 @@ def main():
         if len(sr) != len(orr):
             status.append(f"rowcount: spark={len(sr)} oracle={len(orr)}")
         if not status and sr != orr:
-            diff_a = [r for r in sr if r not in set(orr)][:3]
-            diff_b = [r for r in orr if r not in set(sr)][:3]
+            o_set, s_set = set(orr), set(sr)
+            diff_a = [r for r in sr if r not in o_set][:3]
+            diff_b = [r for r in orr if r not in s_set][:3]
             status.append(f"values differ; spark-only={diff_a} oracle-only={diff_b}")
         if status:
             print(f"FAIL {name}: {'; '.join(status)}")
