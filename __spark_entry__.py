@@ -65,6 +65,32 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_sink_hdt_roundtrip(spark, sf_dir):
+    """QuadSinkHdt (lib/io/QuadSinkHdt.ts:20-131): subject-routed order
+    quads bucketed into ~10 fragments, each built as a native HDT v1 binary
+    by its own task, then read back by the CRC-validating spec reader —
+    write + read round-trip IS the query."""
+    import tempfile
+
+    from rdf_dataset_fragmenter_js_spark.sinks.hdt import (
+        read_hdt_fragments,
+        write_fragment_hdt,
+    )
+    from rdf_dataset_fragmenter_js_spark.sinks.paths import map_doc_to_path
+
+    quads = TD.order_quads(spark, sf_dir)
+    mapped = map_doc_to_path(
+        route_subject(quads),
+        {r"^http://ex\.org/order/(\d).*$": "hdt/b$1"},
+        file_extension=".nq",
+    )
+    out = tempfile.mkdtemp(prefix="hdt_gate_")
+    write_fragment_hdt(
+        mapped, out, "application/n-quads", file_extension=".nq"
+    ).collect()
+    return read_hdt_fragments(spark, out)
+
+
 def q_frag_subject(spark, sf_dir):
     return route_subject(TD.order_quads(spark, sf_dir)).select(*QUAD_OUT)
 
@@ -909,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries in dict-insertion order, so the least-recently-driver-checked
         # entries (the LLM-data operators, skipped in CORRECTNESS_r04.json)
         # come FIRST to guarantee they land inside the snapshot window.
+        "sink_hdt_roundtrip": q_sink_hdt_roundtrip,
         "multimodal_features": q_multimodal_features,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
@@ -1489,6 +1516,13 @@ def oracle_sql() -> dict[str, str]:
         "frag_subject": f"""
             WITH quads AS ({_ORDER_QUADS})
             SELECT s AS doc, s_type, s, p, o_type, o FROM quads
+        """,
+        "sink_hdt_roundtrip": f"""
+            WITH quads AS ({_ORDER_QUADS})
+            SELECT DISTINCT
+                   'hdt/b' || substring(s, 21, 1) || '.hdt' AS path,
+                   s_type, s, p, o_type, o, o_datatype, o_lang
+            FROM quads
         """,
         "frag_subject_bnodes": f"""
             WITH quads AS ({_BNODE_QUADS})

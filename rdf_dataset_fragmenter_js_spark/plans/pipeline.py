@@ -544,18 +544,26 @@ def run_sink(spark: SparkSession, routed: DataFrame, sink: dict[str, Any], outpu
     ``QuadSinkComposite`` (fan-out — the routed frame is persisted so the
     shared upstream computes once across the N write actions, the batch
     analog of the reference's sequential ``push`` fan-out,
-    ``QuadSinkComposite.ts:14-24``). ``QuadSinkHdt`` is recognized but
-    unsupported (external dockerized rdf2hdt post-processing,
-    ``lib/io/QuadSinkHdt.ts:61-125`` — SURVEY.md §2.2)."""
+    ``QuadSinkComposite.ts:14-24``), and ``QuadSinkHdt`` (native
+    distributed HDT v1 conversion — one ``.hdt`` per mapped path, built
+    in-task instead of the reference's sequential dockerized rdf2hdt loop,
+    ``lib/io/QuadSinkHdt.ts:61-125``; ``sinks/hdt.py``)."""
     t = sink["@type"]
     if t == "QuadSinkHdt":
-        raise NotImplementedError(
-            "QuadSinkHdt (lib/io/QuadSinkHdt.ts:61-125) converts written "
-            "N-Quads files to HDT by shelling out to a dockerized rdf2hdt "
-            "binary — out of scope for this engine (SURVEY.md §2.2). Use "
-            "QuadSinkFile and run rdf2hdt over the written files as a "
-            "post-processing step."
+        from rdf_dataset_fragmenter_js_spark.sinks.hdt import write_fragment_hdt
+
+        with_path = map_doc_to_path(
+            routed, sink["iriToPath"], file_extension=sink.get("fileExtension")
         )
+        write_fragment_hdt(
+            with_path,
+            output_dir,
+            sink.get("outputFormat", "application/n-quads"),
+            generate_indexes=sink.get("generateIndexes", True),
+            remove_source_files=sink.get("removeSourceFiles", True),
+            file_extension=sink.get("fileExtension"),
+        ).collect()
+        return
     if t == "QuadSinkFile":
         with_path = map_doc_to_path(
             routed, sink["iriToPath"], file_extension=sink.get("fileExtension")
