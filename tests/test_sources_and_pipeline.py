@@ -360,15 +360,28 @@ def test_pipeline_composite_file_sinks_isolated(spark, nt_file, tmp_path):
 
 
 def test_quad_sink_hdt_recognized(spark, nt_file, tmp_path):
-    """Ported configs using QuadSinkHdt fail with a targeted message, not an
-    unknown-type error (lib/io/QuadSinkHdt.ts:61-125)."""
+    """QuadSinkHdt runs natively from config (round 5, sinks/hdt.py); the
+    reference's outputFormat validation is preserved verbatim
+    (lib/io/QuadSinkHdt.ts:29-31). Full round-trip in tests/test_hdt_sink.py."""
+    import os as _os
+
     spec = {
         "quadSource": {"@type": "QuadSourceFile", "filePath": nt_file},
         "fragmentationStrategy": {"@type": "FragmentationStrategySubject"},
-        "quadSink": {"@type": "QuadSinkHdt", "iriToPath": {}},
+        "quadSink": {
+            "@type": "QuadSinkHdt",
+            "iriToPath": {"^.*/": "frags/"},
+            "fileExtension": ".nq",
+        },
     }
-    with pytest.raises(NotImplementedError, match="rdf2hdt"):
-        run_pipeline_spec(spark, spec, str(tmp_path / "hdt"))
+    out = str(tmp_path / "hdt")
+    run_pipeline_spec(spark, spec, out)
+    names = sorted(_os.listdir(_os.path.join(out, "frags")))
+    assert names and all(n.endswith(".hdt") for n in names)
+
+    spec["quadSink"]["outputFormat"] = "application/ld+json"
+    with pytest.raises(ValueError, match="Unsupported HDT output format"):
+        run_pipeline_spec(spark, spec, str(tmp_path / "hdt_bad"))
 
 
 def test_pipeline_composite_filtered_csv_sinks(spark, nt_file, tmp_path):
