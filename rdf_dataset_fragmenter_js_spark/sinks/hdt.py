@@ -620,6 +620,82 @@ def write_fragment_hdt(
     )
 
 
+def read_hdt_files(spark, path, base_iri: str | None = None) -> DataFrame:
+    """``.hdt`` files → quad DataFrame (``QuadSourceFile`` dispatch target
+    for the ``.hdt`` extension). Beyond-reference capability: the
+    reference's rdf-parse has no HDT reader, so it can WRITE HDT (via
+    docker) but never read it back — this engine round-trips its own sink
+    output.
+
+    Distribution mirrors ``sources/driverfile.py::_read_distributed`` with
+    ``sc.binaryFiles`` instead of ``wholeTextFiles`` (HDT is binary): one
+    record per file, parsed on executors, dense file-major ``seq`` (HDT
+    triple order is the sorted SPO order, so seq is deterministic). The
+    graph column is null — HDT is a triple format. ``base_iri`` is accepted
+    for signature parity and unused (HDT dictionaries hold absolute terms).
+    """
+    from rdf_dataset_fragmenter_js_spark.quads import QUAD_SCHEMA
+    from rdf_dataset_fragmenter_js_spark.sources.driverfile import (
+        _path_key,
+        _strip_file_scheme,
+        expand_paths,
+    )
+
+    files = expand_paths(path, (".hdt",), spark)
+    bad = [f for f in files if "," in f]
+    if bad:
+        raise ValueError(
+            f"hdt: file paths containing ',' are not readable via "
+            f"binaryFiles (Spark splits its path argument on commas): {bad!r}"
+        )
+    sc = spark.sparkContext
+    index_of = {_path_key(f): i for i, f in enumerate(files)}
+    n_files = len(files)
+    bc = sc.broadcast(index_of)
+
+    def parse_record(rec):
+        uri, blob = rec
+        idx = bc.value.get(_path_key(_strip_file_scheme(uri)))
+        if idx is None:
+            raise ValueError(f"hdt: binaryFiles returned unexpected path {uri!r}")
+        rows = read_hdt(bytes(blob))
+        return [
+            (idx, s_type, s, p, o_type, o, dt, lang, None, seq)
+            for seq, (s_type, s, p, o_type, o, dt, lang) in enumerate(rows)
+        ]
+
+    rdd = sc.binaryFiles(
+        ",".join(files), minPartitions=min(n_files, sc.defaultParallelism)
+    ).flatMap(parse_record)
+    parsed = spark.createDataFrame(
+        rdd,
+        "file_idx int, "
+        + ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in QUAD_SCHEMA),
+    ).localCheckpoint(eager=True)  # parse exactly once (offsets pass + projection)
+    counts = {
+        r["file_idx"]: r["cnt"]
+        for r in parsed.groupBy("file_idx").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, running = {}, 0
+    for i in range(n_files):
+        offsets[i] = running
+        running += counts.get(i, 0)
+    offset_map = F.create_map(
+        *[F.lit(x) for i in range(n_files) for x in (i, offsets[i])]
+    )
+    return parsed.select(
+        "s_type",
+        "s",
+        "p",
+        "o_type",
+        "o",
+        "o_datatype",
+        "o_lang",
+        "g",
+        (F.col("seq") + offset_map[F.col("file_idx")]).cast("long").alias("seq"),
+    )
+
+
 def read_hdt_fragments(spark, output_dir: str) -> DataFrame:
     """Distributed read-back of every ``.hdt`` under ``output_dir`` →
     quad-model rows + the fragment's relative ``path`` (spec-reader twin of

@@ -115,6 +115,10 @@ N3_EXTENSIONS = (".n3",)
 #: RDFa-annotated (X)HTML (sources/rdfa.py — RDFa 1.1 Lite subset)
 RDFA_EXTENSIONS = (".html", ".xhtml", ".htm")
 
+#: HDT binary fragments (our own QuadSinkHdt output; the reference cannot
+#: read these back — rdf-parse has no HDT parser)
+HDT_EXTENSIONS = (".hdt",)
+
 _SCHEME_PREFIX = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
 
 
@@ -196,6 +200,8 @@ def _sniff_format(
             return "n3"
         if n.endswith(RDFA_EXTENSIONS):
             return "rdfa"
+        if n.endswith(HDT_EXTENSIONS):
+            return "hdt"
         if n.endswith(SUPPORTED_EXTENSIONS):
             return "nquads"
         return None
@@ -274,6 +280,10 @@ def read_rdf(spark: SparkSession, path: str, base_iri: str | None = None) -> Dat
         from rdf_dataset_fragmenter_js_spark.sources.turtle import read_n3
 
         return read_n3(spark, src, base_iri=base_iri)
+    if fmt == "hdt":
+        from rdf_dataset_fragmenter_js_spark.sinks.hdt import read_hdt_files
+
+        return read_hdt_files(spark, src, base_iri=base_iri)
     if fmt == "rdfa":
         from rdf_dataset_fragmenter_js_spark.sources.rdfa import read_rdfa
 

@@ -171,6 +171,36 @@ def test_write_fragment_hdt_spark(spark, tmp_path):
         write_fragment_hdt(routed, str(tmp_path / "bad"), "application/ld+json")
 
 
+def test_read_rdf_hdt_source(spark, tmp_path):
+    """.hdt dispatches through the QuadSourceFile read path (beyond-reference:
+    rdf-parse cannot read HDT back; our engine round-trips its own sink
+    output) with dense file-major seq."""
+    from rdf_dataset_fragmenter_js_spark.sources.nquads import read_rdf
+
+    rows = [
+        quad("http://ex.org/a", "http://ex.org/p", "http://ex.org/x"),
+        quad("http://ex.org/a", "http://ex.org/p", "v1", o_type="Literal"),
+        quad("http://ex.org/b", "http://ex.org/p", "v2", o_type="Literal"),
+    ]
+    routed = map_doc_to_path(
+        route_subject(quads_df(spark, rows)),
+        {r"^http://ex\.org/": ""},
+        file_extension=".nq",
+    )
+    out = str(tmp_path / "hdtsrc")
+    write_fragment_hdt(
+        routed, out, "application/n-quads", file_extension=".nq"
+    ).collect()
+
+    back = read_rdf(spark, out + "/*.hdt").collect()
+    assert sorted((r.s, r.o, r.g) for r in back) == [
+        ("http://ex.org/a", "http://ex.org/x", None),
+        ("http://ex.org/a", "v1", None),
+        ("http://ex.org/b", "v2", None),
+    ]
+    assert sorted(r.seq for r in back) == [0, 1, 2]  # dense file-major
+
+
 def test_pipeline_spec_hdt(spark, tmp_path):
     """Config-driven QuadSinkHdt: componentsjs-shaped spec → per-fragment
     .hdt files (the reference's config surface, QuadSinkHdt.ts options)."""
