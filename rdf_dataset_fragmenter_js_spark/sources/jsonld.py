@@ -22,14 +22,19 @@ Coverage — the JSON-LD core that appears in real data documents:
 * JSON-LD 1.1: ``@reverse`` (node key and term definitions), ``@nest``
   (node key and term-definition passthrough), ``@included`` blocks,
   container maps (``@index`` / ``@language`` / ``@id`` / ``@type``,
-  incl. ``@none`` keys and ``["@set", ...]`` forms), and the inert
-  context keywords ``@version`` / ``@protected`` / ``@prefix``.
+  incl. ``@none`` keys and ``["@set", ...]`` forms), ``@graph``
+  containers (fresh-bnode-named graphs), ``@json`` literals
+  (``rdf:JSON`` datatype, RFC 8785 JCS lexical form with ECMAScript
+  number formatting), ``@direction`` accepted-and-dropped (toRDF's
+  default ``rdfDirection: null`` mode — what the reference's
+  jsonld-streaming-parser route does), and the inert context keywords
+  ``@version`` / ``@protected`` / ``@prefix``.
 
 Exotic features fail fast with a targeted message instead of silently
 mis-parsing: REMOTE contexts (a context URL — the engine does no network
 I/O; pass them offline via the ``contexts=`` documentLoader mapping),
-``@json`` literals, ``@direction``, ``@graph`` containers, and
-framing documents.
+composite container maps (``["@graph", "@id"]`` etc.), and framing
+documents.
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ from __future__ import annotations
 import json
 import math
 import re
+from decimal import Decimal
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -46,8 +52,62 @@ _KEYWORDS = {
     "@context", "@base", "@vocab", "@index", "@reverse", "@nest",
     "@included",
 }
-_UNSUPPORTED_KEYS = {"@direction"}
 _ABSOLUTE_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def _es_number(x) -> str:
+    """ECMAScript ``Number::toString`` for a JSON number — the serialization
+    RFC 8785 (JCS) §3.2.2.3 requires. Python's ``repr`` supplies the same
+    shortest round-trip digits as ES; this applies ES's fixed/exponential
+    placement rules (fixed for 1e-6 ≤ |x| < 1e21, exponential outside)."""
+    if isinstance(x, int) and not isinstance(x, bool):
+        return str(x)
+    if math.isnan(x) or math.isinf(x):
+        raise ValueError("NaN/Infinity are not valid JSON numbers")
+    if x == 0.0:
+        return "0"  # ES ToString(-0) is "0"
+    sign = "-" if x < 0 else ""
+    tup = Decimal(repr(abs(x))).as_tuple()
+    digits = "".join(map(str, tup.digits)).rstrip("0") or "0"
+    n = tup.exponent + len(tup.digits)  # value = 0.<digits> * 10**n
+    k = len(digits)
+    if k <= n <= 21:
+        s = digits + "0" * (n - k)
+    elif 0 < n <= 21:
+        s = digits[:n] + "." + digits[n:]
+    elif -6 < n <= 0:
+        s = "0." + "0" * (-n) + digits
+    else:
+        mantissa = digits[0] + ("." + digits[1:] if k > 1 else "")
+        s = f"{mantissa}e{'+' if n - 1 >= 0 else '-'}{abs(n - 1)}"
+    return sign + s
+
+
+def _jcs(v) -> str:
+    """RFC 8785 JSON Canonicalization Scheme — the lexical form of an
+    ``rdf:JSON`` literal (JSON-LD 1.1 toRDF step for ``@json`` values).
+    Object keys sort by UTF-16 code units (surrogate order differs from
+    code-point order above U+FFFF), strings use JSON's minimal escapes
+    (``json.dumps`` matches JCS exactly), numbers use ES formatting."""
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, (int, float)):
+        return _es_number(v)
+    if isinstance(v, list):
+        return "[" + ",".join(_jcs(item) for item in v) + "]"
+    if isinstance(v, dict):
+        items = sorted(v.items(), key=lambda kv: kv[0].encode("utf-16-be"))
+        return "{" + ",".join(
+            json.dumps(k, ensure_ascii=False) + ":" + _jcs(val)
+            for k, val in items
+        ) + "}"
+    raise ValueError(f"not a JSON value: {type(v).__name__}")
 
 
 def _canonical_double(x: float) -> str:
@@ -128,9 +188,12 @@ class _Parser:
             for term, definition in ctx_json.items():
                 if term.startswith("@"):
                     # @version/@propagate/@protected are processing-mode
-                    # flags with no effect on toRDF output — accepted inert
+                    # flags with no effect on toRDF output — accepted inert.
+                    # @direction too: toRDF's default mode (rdfDirection
+                    # null — jsonld-streaming-parser's default on the
+                    # reference's rdf-parse route) drops base direction.
                     if term not in (
-                        "@base", "@vocab", "@language",
+                        "@base", "@vocab", "@language", "@direction",
                         "@version", "@propagate", "@protected",
                     ):
                         raise NotImplementedError(
@@ -142,7 +205,8 @@ class _Parser:
                 elif isinstance(definition, dict):
                     bad = set(definition) - {
                         "@id", "@type", "@container", "@language",
-                        "@reverse", "@nest", "@protected", "@prefix",
+                        "@direction", "@reverse", "@nest", "@protected",
+                        "@prefix",
                     }
                     if bad:
                         raise NotImplementedError(
@@ -173,9 +237,10 @@ class _Parser:
                         }
                     if "@type" in definition:
                         t = definition["@type"]
-                        if t == "@json":
-                            raise NotImplementedError("@json literals are not supported")
-                        d["@type"] = t if t == "@id" else self._expand_iri(t, out, vocab=True)
+                        d["@type"] = (
+                            t if t in ("@id", "@json")
+                            else self._expand_iri(t, out, vocab=True)
+                        )
                     if container:
                         d["@container"] = container
                     if "@language" in definition:
@@ -189,9 +254,9 @@ class _Parser:
 
     @staticmethod
     def _normalize_container(container):
-        """``@container`` → one of None/@list/@index/@language/@id/@type.
-        JSON-LD 1.1 array forms combine with ``@set`` (order-insensitive);
-        ``@set`` alone is a no-op for toRDF."""
+        """``@container`` → one of None/@list/@index/@language/@id/@type/
+        @graph. JSON-LD 1.1 array forms combine with ``@set``
+        (order-insensitive); ``@set`` alone is a no-op for toRDF."""
         if isinstance(container, list):
             rest = [c for c in container if c != "@set"]
             if len(rest) > 1:
@@ -201,11 +266,10 @@ class _Parser:
             container = rest[0] if rest else None
         if container == "@set":
             container = None
-        if container not in (None, "@list", "@index", "@language", "@id", "@type"):
-            raise NotImplementedError(
-                f"@container {container!r} is not supported "
-                "(@graph containers need full 1.1 expansion)"
-            )
+        if container not in (
+            None, "@list", "@index", "@language", "@id", "@type", "@graph",
+        ):
+            raise NotImplementedError(f"@container {container!r} is not supported")
         return container
 
     # -- IRI expansion -----------------------------------------------------
@@ -275,11 +339,6 @@ class _Parser:
     def node(self, obj: dict, ctx: _Context, graph: str | None) -> tuple[str, str]:
         if not isinstance(obj, dict):
             raise ValueError(f"expected node object, got {obj!r}")
-        unsupported = _UNSUPPORTED_KEYS & set(obj)
-        if unsupported:
-            raise NotImplementedError(
-                f"JSON-LD keywords {sorted(unsupported)} are not supported"
-            )
         if "@context" in obj:
             ctx = self.parse_context(obj["@context"], ctx)
         subj = self._subject_term(obj.get("@id"), ctx)
@@ -335,9 +394,62 @@ class _Parser:
             if raw is None:
                 continue  # null value → entry removed (expansion algorithm)
             container = term_def.get("@container")
+            if term_def.get("@type") == "@json":
+                # expansion step 13.4.7.1: the ENTIRE raw value becomes ONE
+                # {"@value": value, "@type": "@json"} map — an array is the
+                # literal's content, not a value list; a @list container
+                # then wraps that single rdf:JSON literal
+                if term_def.get("reverse"):
+                    raise ValueError(
+                        f"invalid reverse property value for {pred!r}: "
+                        "@json values are literals"
+                    )
+                if container not in (None, "@list"):
+                    raise NotImplementedError(
+                        f"@json with @container {container!r} is not supported"
+                    )
+                lex = _jcs(raw)
+                if container == "@list":
+                    head = self._fresh_bnode()
+                    self._emit(subj[0], subj[1], pred, "BlankNode", head, g=graph)
+                    self._emit(
+                        "BlankNode", head, RDF_NS + "first",
+                        "Literal", lex, RDF_NS + "JSON", g=graph,
+                    )
+                    self._emit(
+                        "BlankNode", head, RDF_NS + "rest",
+                        "NamedNode", RDF_NS + "nil", g=graph,
+                    )
+                else:
+                    self._emit(
+                        subj[0], subj[1], pred,
+                        "Literal", lex, RDF_NS + "JSON", g=graph,
+                    )
+                continue
             if isinstance(raw, dict) and container in ("@index", "@language", "@id", "@type"):
                 raw = self._expand_container_map(container, raw, ctx)
             values = [v for v in (raw if isinstance(raw, list) else [raw]) if v is not None]
+            if container == "@graph":
+                # 1.1 graph container: each value is (or wraps into) a graph
+                # object; toRDF names the graph with a FRESH blank node,
+                # links subj --pred--> that bnode, and the value's triples
+                # land inside the named graph
+                for value in values:
+                    gb = self._fresh_bnode()
+                    self._emit(subj[0], subj[1], pred, "BlankNode", gb, g=graph)
+                    inner_g = "_:" + gb
+                    if isinstance(value, dict) and "@graph" in value and not any(
+                        k for k in value if k not in ("@context", "@graph", "@index")
+                    ):
+                        ictx = ctx
+                        if "@context" in value:
+                            ictx = self.parse_context(value["@context"], ctx)
+                        nodes = value["@graph"]
+                        for n in nodes if isinstance(nodes, list) else [nodes]:
+                            self.node(n, ictx, inner_g)
+                    else:
+                        self.node(value, ctx, inner_g)
+                continue
             if term_def.get("reverse"):
                 for value in values:
                     self._reverse_object(subj, pred, value, term_def, ctx, graph)
@@ -457,6 +569,14 @@ class _Parser:
                 return
             if "@value" in value:
                 v = value["@value"]
+                if value.get("@type") == "@json":
+                    # rdf:JSON literal: @value may be ANY JSON value — null
+                    # included (JCS "null"), unlike the plain-value null-drop
+                    self._emit(
+                        subj[0], subj[1], pred,
+                        "Literal", _jcs(v), RDF_NS + "JSON", g=graph,
+                    )
+                    return
                 if v is None:
                     return  # {"@value": null} → emit nothing (expansion null-drop)
                 lang = value.get("@language")
@@ -506,7 +626,10 @@ class _Parser:
             return (v, None)
         if v is None:
             raise ValueError("null @value is not an RDF literal")
-        raise NotImplementedError(f"@value of type {type(v).__name__} (use @json-free documents)")
+        raise ValueError(
+            f"invalid @value of type {type(v).__name__} — a non-scalar "
+            '@value requires "@type": "@json"'
+        )
 
 
 def parse_jsonld(

@@ -105,16 +105,76 @@ def test_nested_nodes_and_doubles():
 def test_exotic_features_fail_fast():
     with pytest.raises(NotImplementedError, match="remote @context"):
         parse_jsonld('{"@context": "http://schema.org/", "@id": "http://s"}')
-    with pytest.raises(NotImplementedError, match="@json"):
+    with pytest.raises(NotImplementedError, match="@container combination"):
         parse_jsonld(
-            '{"@context": {"p": {"@id": "http://p", "@type": "@json"}},'
-            ' "@id": "http://s", "p": {"a": 1}}'
+            '{"@context": {"p": {"@id": "http://p",'
+            ' "@container": ["@graph", "@id"]}},'
+            ' "@id": "http://s", "p": {"http://g": {"http://q": "v"}}}'
         )
-    with pytest.raises(NotImplementedError, match="@container"):
-        parse_jsonld(
-            '{"@context": {"p": {"@id": "http://p", "@container": "@graph"}},'
-            ' "@id": "http://s", "p": {"http://q": "v"}}'
-        )
+
+
+RDF_JSON = "http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON"
+
+
+def test_json_literals_jcs_canonical():
+    # term-coerced @json: the WHOLE raw value is ONE rdf:JSON literal,
+    # keys JCS-sorted, numbers in ECMAScript form (RFC 8785)
+    rows = parse_jsonld(
+        '{"@context": {"p": {"@id": "http://p", "@type": "@json"}},'
+        ' "@id": "http://s", "p": {"b": 1e21, "a": [true, null, 100.0]}}'
+    )
+    assert rows == [(
+        "NamedNode", "http://s", "http://p",
+        "Literal", '{"a":[true,null,100],"b":1e+21}', RDF_JSON, None, None, 0,
+    )]
+    # an array under a @json term is the literal's content, not a value list
+    rows = parse_jsonld(
+        '{"@context": {"p": {"@id": "http://p", "@type": "@json"}},'
+        ' "@id": "http://s", "p": [1, 2]}'
+    )
+    assert [(r[3], r[4], r[5]) for r in rows] == [("Literal", "[1,2]", RDF_JSON)]
+    # value-object form, incl. null (which JCS-serializes, not null-drops)
+    rows = parse_jsonld(
+        '{"@id": "http://s", "http://p": {"@value": null, "@type": "@json"}}'
+    )
+    assert [(r[4], r[5]) for r in rows] == [("null", RDF_JSON)]
+
+
+def test_direction_accepted_and_dropped():
+    # toRDF default mode (rdfDirection null): @direction in the context,
+    # in term definitions, and in value objects is dropped — language tags
+    # survive untouched
+    rows = parse_jsonld(
+        '{"@context": {"@language": "en", "@direction": "rtl",'
+        ' "t": {"@id": "http://t", "@language": "de", "@direction": "ltr"}},'
+        ' "@id": "http://s", "t": "hallo",'
+        ' "http://q": {"@value": "hi", "@language": "en", "@direction": "rtl"}}'
+    )
+    assert {(r[2], r[4], r[6]) for r in rows} == {
+        ("http://t", "hallo", "de"),
+        ("http://q", "hi", "en"),
+    }
+
+
+def test_graph_container():
+    # each value of a @graph-container term lands in a FRESH bnode-named
+    # graph, linked from the subject by the term's predicate
+    rows = parse_jsonld(
+        '{"@context": {"claims": {"@id": "http://claims",'
+        ' "@container": ["@graph", "@set"]}},'
+        ' "@id": "http://s",'
+        ' "claims": [{"@id": "http://n1", "http://p": "v1"},'
+        '            {"@graph": {"@id": "http://n2", "http://p": "v2"}}]}'
+    )
+    links = [r for r in rows if r[2] == "http://claims"]
+    assert len(links) == 2 and all(r[3] == "BlankNode" for r in links)
+    inner = {r[1]: r[7] for r in rows if r[2] == "http://p"}
+    # the inner triples sit inside the graphs named by those two bnodes
+    assert inner == {
+        "http://n1": "_:" + links[0][4],
+        "http://n2": "_:" + links[1][4],
+    }
+    assert links[0][4] != links[1][4]
 
 
 def test_reverse_node_key_and_term():

@@ -598,3 +598,43 @@ def test_jsonld_parser_never_crashes_unexpectedly(doc):
     except (NotImplementedError, ValueError):
         return
     assert isinstance(rows, list)
+
+
+_JCS_VALUES = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(2**53) + 1, max_value=2**53 - 1)
+    | st.floats(allow_nan=False, allow_infinity=False)
+    | st.text(max_size=8),
+    lambda children: st.lists(children, max_size=3)
+    | st.dictionaries(st.text(max_size=6), children, max_size=4),
+    max_leaves=10,
+)
+
+
+@given(v=_JCS_VALUES)
+@settings(max_examples=200, deadline=None)
+def test_jcs_rdf_json_lexical_roundtrips(v):
+    """The rdf:JSON lexical form (RFC 8785 JCS) is valid JSON that parses
+    back to an equal value, and canonicalization is idempotent (the fixed
+    point every JCS implementation must agree on)."""
+    import json as _json
+
+    from rdf_dataset_fragmenter_js_spark.sources.jsonld import _jcs
+
+    def norm(x):
+        # JSON numbers are IEEE doubles: "18014398509481990" parses to int
+        # in Python but to the SAME double in a JSON engine — compare as
+        # doubles, which is the equality RFC 8785 guarantees
+        if isinstance(x, bool) or x is None or isinstance(x, str):
+            return x
+        if isinstance(x, (int, float)):
+            return float(x)
+        if isinstance(x, list):
+            return [norm(i) for i in x]
+        return {k: norm(val) for k, val in x.items()}
+
+    lex = _jcs(v)
+    back = _json.loads(lex)
+    assert norm(back) == norm(v)
+    assert _jcs(back) == lex
