@@ -17,20 +17,31 @@ Coverage — the registry-less core of the W3C *Microdata to RDF* note:
   → ``src`` IRI; ``meta`` → ``content``; ``data``/``meter`` → ``value``;
   ``time`` → ``datetime`` (or text); anything else → text content
   (``lang``-inherited plain literal);
-* nested ``itemscope`` + ``itemprop`` → the nested item as object.
+* nested ``itemscope`` + ``itemprop`` → the nested item as object;
+* ``itemref``: the HTML spec's item-properties crawl — the item's
+  subtree plus each element referenced by id, property names resolved
+  against the REFERRING item's vocabulary, ``lang`` inherited from the
+  referenced element's own document ancestry, reference loops dropped
+  per the spec's microdata-error rule, and an element shared by two
+  items (or referenced twice) generating its triples exactly once with
+  one stable term.
 
-``itemref`` (forward references to elements by id — a second pass over
-the document) fails fast rather than silently dropping the referenced
-properties. Microdata has no named graphs and no typed literals; all
-literals are plain or language-tagged, matching the note.
+The document is parsed into a lightweight element tree first (``itemref``
+is a by-id forward reference, so properties cannot be resolved in one
+streaming pass), then evaluated in tree order. Microdata has no named
+graphs and no typed literals; all literals are plain or language-tagged,
+matching the note.
 """
 
 from __future__ import annotations
 
+from collections import deque
+from html.parser import HTMLParser
+
 from rdf_dataset_fragmenter_js_spark.sources._htmlbase import (
     ABSOLUTE_IRI as _ABSOLUTE_IRI,
 )
-from rdf_dataset_fragmenter_js_spark.sources._htmlbase import QuadHtmlParser
+from rdf_dataset_fragmenter_js_spark.sources._htmlbase import VOID_ELEMENTS
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
@@ -45,109 +56,218 @@ def _vocab_of(type_iri: str) -> str:
     return type_iri[: type_iri.rfind("/") + 1]
 
 
-class _Scope:
-    __slots__ = ("tag", "item", "prop_base", "lang", "literal")
+def _prop_iris(itemprop: str, prop_base: str | None) -> list[str]:
+    out = []
+    for name in itemprop.split():
+        if _ABSOLUTE_IRI.match(name):
+            out.append(name)
+        elif prop_base:
+            out.append(prop_base + name)
+    return out
 
-    def __init__(self, tag, item, prop_base, lang, literal=None):
+
+class _TNode:
+    __slots__ = ("tag", "attrs", "children", "lang", "order")
+
+    def __init__(self, tag, attrs, lang, order):
         self.tag = tag
-        self.item = item  # (type, value) of the nearest enclosing itemscope
-        self.prop_base = prop_base
+        self.attrs = attrs
+        self.children: list = []  # _TNode | str
         self.lang = lang
-        #: open text-content literal: (item, [pred IRIs], lang, buf)
-        self.literal = literal
+        self.order = order  # document (tree) order index
+
+    def text_content(self) -> str:
+        parts: list[str] = []
+        stack = [iter(self.children)]
+        while stack:
+            for c in stack[-1]:
+                if isinstance(c, str):
+                    parts.append(c)
+                else:
+                    stack.append(iter(c.children))
+                    break
+            else:
+                stack.pop()
+        return "".join(parts)
 
 
-class _MicrodataParser(QuadHtmlParser):
-    BNODE_PREFIX = "genid_md_"
+class _TreeBuilder(HTMLParser):
+    """Lenient element-tree builder with the same recovery semantics as
+    ``QuadHtmlParser`` (first-wins duplicate attributes, void elements
+    never pushed, unmatched end tags ignored, implicit closes pop to the
+    nearest matching open tag)."""
 
-    def __init__(self, base_iri: str | None):
-        super().__init__(base_iri)
-        self.stack.append(_Scope(None, None, None, None))
-
-    def _prop_iris(self, itemprop: str, prop_base: str | None) -> list[str]:
-        out = []
-        for name in itemprop.split():
-            if _ABSOLUTE_IRI.match(name):
-                out.append(name)
-            elif prop_base:
-                out.append(prop_base + name)
-        return out
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _TNode(None, {}, None, 0)
+        self.stack = [self.root]
+        self._n = 0
 
     def handle_starttag(self, tag, attrs):
         a = {}
         for k, v in attrs:
             if k not in a:
                 a[k] = v  # presence attrs (itemscope) arrive as None
-        if "itemref" in a:
-            raise NotImplementedError(
-                "microdata @itemref (by-id forward references) is not "
-                "supported — inline the referenced properties"
-            )
         parent = self.stack[-1]
         lang = parent.lang
         if "lang" in a or "xml:lang" in a:
             lang = a.get("lang") or a.get("xml:lang") or None
-        scope = _Scope(tag, parent.item, parent.prop_base, lang)
+        self._n += 1
+        node = _TNode(tag, a, lang, self._n)
+        parent.children.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
 
-        props = (
-            self._prop_iris(a["itemprop"], parent.prop_base)
-            if a.get("itemprop")
-            else []
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in VOID_ELEMENTS:
+            self.handle_endtag(tag)
+
+    def handle_data(self, data):
+        self.stack[-1].children.append(data)
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+
+class _TreeEvaluator:
+    """Microdata-to-RDF over the element tree. Items generate once
+    (memoized by element identity), in document order for top-level
+    iteration; each item's properties come from the HTML spec's crawl
+    (own subtree + ``itemref`` targets, nested-itemscope subtrees
+    excluded, results in tree order)."""
+
+    BNODE_PREFIX = "genid_md_"
+
+    def __init__(self, base_iri: str | None):
+        self.base = base_iri
+        self.quads: list[tuple] = []
+        self._bnode_n = 0
+        self.by_id: dict[str, _TNode] = {}
+        self._terms: dict[int, tuple[str, str]] = {}
+        self._generated: set[int] = set()
+
+    def _resolve(self, iri: str) -> str:
+        if _ABSOLUTE_IRI.match(iri) or self.base is None:
+            return iri
+        from rdf_dataset_fragmenter_js_spark.functions.iri import resolve_iri
+
+        return resolve_iri(iri, self.base)
+
+    def _emit(self, s, p, o, lang=None):
+        self.quads.append(
+            (s[0], s[1], p, o[0], o[1], None, lang, None, len(self.quads))
         )
-        if "itemscope" in a:
-            item = (
-                ("NamedNode", self._resolve(a["itemid"].strip()))
-                if a.get("itemid")
-                else self._fresh_bnode()
-            )
-            types = [t for t in (a.get("itemtype") or "").split() if _ABSOLUTE_IRI.match(t)]
-            for t in types:
-                self._emit(item, RDF_NS + "type", ("NamedNode", t))
-            if props and parent.item is not None:
-                for p in props:
-                    self._emit(parent.item, p, item)
-            scope.item = item
-            scope.prop_base = _vocab_of(types[0]) if types else parent.prop_base
-        elif props and parent.item is not None:
-            if tag in ("a", "area", "link") and a.get("href") is not None:
-                o = ("NamedNode", self._resolve(a["href"]))
-                for p in props:
-                    self._emit(parent.item, p, o)
-            elif tag in _SRC_ELEMENTS and a.get("src") is not None:
-                o = ("NamedNode", self._resolve(a["src"]))
-                for p in props:
-                    self._emit(parent.item, p, o)
-            elif tag == "meta":
-                for p in props:
-                    self._emit(parent.item, p, ("Literal", a.get("content") or ""), lang=lang)
-            elif tag in ("data", "meter") and a.get("value") is not None:
-                for p in props:
-                    self._emit(parent.item, p, ("Literal", a["value"]), lang=lang)
-            elif tag == "time" and a.get("datetime") is not None:
-                for p in props:
-                    self._emit(parent.item, p, ("Literal", a["datetime"]), lang=lang)
+
+    def _term_of(self, node: _TNode) -> tuple[str, str]:
+        term = self._terms.get(node.order)
+        if term is None:
+            itemid = node.attrs.get("itemid")
+            if itemid:
+                term = ("NamedNode", self._resolve(itemid.strip()))
             else:
-                scope.literal = (parent.item, props, lang, [])
+                self._bnode_n += 1
+                term = ("BlankNode", f"{self.BNODE_PREFIX}{self._bnode_n}")
+            self._terms[node.order] = term
+        return term
 
-        self._finish_starttag(tag, scope)
+    def run(self, root: _TNode) -> None:
+        items: list[_TNode] = []
+        stack = [iter(root.children)]
+        while stack:
+            for c in stack[-1]:
+                if isinstance(c, str):
+                    continue
+                node_id = c.attrs.get("id")
+                if node_id is not None and node_id not in self.by_id:
+                    self.by_id[node_id] = c
+                if "itemscope" in c.attrs:
+                    items.append(c)
+                stack.append(iter(c.children))
+                break
+            else:
+                stack.pop()
+        for node in items:
+            self._gen_item(node, None)
 
-    def _flush_literal(self, scope):
-        if scope.literal is None:
-            return
-        item, props, lang, buf = scope.literal
-        text = "".join(buf)
-        for p in props:
-            self._emit(item, p, ("Literal", text), lang=lang)
-        scope.literal = None
+    def _crawl(self, node: _TNode) -> list[_TNode]:
+        """HTML spec 'the properties of an item': BFS over the item's
+        children plus each itemref target, skipping nested-itemscope
+        subtrees; already-seen elements (reference loops) are dropped —
+        the spec's microdata error. Results in tree order."""
+        results: list[_TNode] = []
+        memory = {node.order}
+        pending = deque(c for c in node.children if isinstance(c, _TNode))
+        for ref in (node.attrs.get("itemref") or "").split():
+            el = self.by_id.get(ref)
+            if el is not None:
+                pending.append(el)
+        while pending:
+            current = pending.popleft()
+            if current.order in memory:
+                continue
+            memory.add(current.order)
+            if "itemscope" not in current.attrs:
+                pending.extend(
+                    c for c in current.children if isinstance(c, _TNode)
+                )
+            if current.attrs.get("itemprop"):
+                results.append(current)
+        results.sort(key=lambda e: e.order)
+        return results
+
+    def _gen_item(self, node: _TNode, inherited_base: str | None):
+        term = self._term_of(node)
+        if node.order in self._generated:
+            return term
+        self._generated.add(node.order)
+        types = [
+            t
+            for t in (node.attrs.get("itemtype") or "").split()
+            if _ABSOLUTE_IRI.match(t)
+        ]
+        for t in types:
+            self._emit(term, RDF_NS + "type", ("NamedNode", t))
+        prop_base = _vocab_of(types[0]) if types else inherited_base
+        for e in self._crawl(node):
+            props = _prop_iris(e.attrs["itemprop"], prop_base)
+            if not props:
+                continue
+            if "itemscope" in e.attrs:
+                o = self._gen_item(e, prop_base)
+                for p in props:
+                    self._emit(term, p, o)
+                continue
+            a, lang = e.attrs, e.lang
+            if e.tag in ("a", "area", "link") and a.get("href") is not None:
+                o, lang = ("NamedNode", self._resolve(a["href"])), None
+            elif e.tag in _SRC_ELEMENTS and a.get("src") is not None:
+                o, lang = ("NamedNode", self._resolve(a["src"])), None
+            elif e.tag == "meta":
+                o = ("Literal", a.get("content") or "")
+            elif e.tag in ("data", "meter") and a.get("value") is not None:
+                o = ("Literal", a["value"])
+            elif e.tag == "time" and a.get("datetime") is not None:
+                o = ("Literal", a["datetime"])
+            else:
+                o = ("Literal", e.text_content())
+            for p in props:
+                self._emit(term, p, o, lang=lang)
+        return term
 
 
 def parse_microdata(text: str, base_iri: str | None = None) -> list[tuple]:
     """Parse HTML Microdata → quad tuples in the engine schema
     (s_type, s, p, o_type, o, o_datatype, o_lang, g, seq)."""
-    p = _MicrodataParser(base_iri)
-    p.feed(text)
-    p.close()
-    return p.quads
+    tb = _TreeBuilder()
+    tb.feed(text)
+    tb.close()
+    ev = _TreeEvaluator(base_iri)
+    ev.run(tb.root)
+    return ev.quads
 
 
 def serialize_microdata(rows: list[tuple]) -> str:

@@ -73,13 +73,60 @@ def test_absolute_prop_names_lang_and_hash_vocab():
     assert (rows[0][0], item, "http://ex.org/vocab#no-vocab-needed", "Literal", "kept", "en") in vals
 
 
-def test_itemprop_outside_item_dropped_and_itemref_fails_fast():
+def test_itemprop_outside_item_dropped():
     assert parse_microdata('<span itemprop="name">x</span>', base_iri=B) == []
-    with pytest.raises(NotImplementedError, match="itemref"):
-        parse_microdata(
-            '<div itemscope itemref="a b"></div><p id="a" itemprop="x">v</p>',
-            base_iri=B,
-        )
+
+
+def test_itemref_basic_forward_and_backward():
+    """itemref pulls by-id elements into the item's property crawl; names
+    resolve against the REFERRING item's vocabulary, and the referenced
+    element's own document lang applies."""
+    html = """
+    <p id="a" itemprop="name" lang="de">Amanda</p>
+    <div itemscope itemtype="http://schema.org/Person"
+         itemid="http://ex.org/me" itemref="a b missing"></div>
+    <div id="b"><meta itemprop="jobTitle" content="Engineer"></div>
+    """
+    vals = _vals(parse_microdata(html, base_iri=B))
+    me = "http://ex.org/me"
+    assert ("NamedNode", me, S + "name", "Literal", "Amanda", "de") in vals
+    assert ("NamedNode", me, S + "jobTitle", "Literal", "Engineer", None) in vals
+
+
+def test_itemref_shared_element_two_items_one_generation():
+    """Two items referencing the same element both get the property; a
+    referenced nested itemscope is the SAME item (one term, one set of
+    content triples) for both referrers."""
+    html = """
+    <div id="x" itemprop="author" itemscope>
+      <span itemprop="http://schema.org/name">Bob</span>
+    </div>
+    <div itemscope itemtype="http://schema.org/Book"
+         itemid="http://ex.org/b1" itemref="x"></div>
+    <div itemscope itemtype="http://schema.org/Book"
+         itemid="http://ex.org/b2" itemref="x"></div>
+    """
+    rows = parse_microdata(html, base_iri=B)
+    authors = [r for r in rows if r[2] == S + "author"]
+    assert {r[1] for r in authors} == {"http://ex.org/b1", "http://ex.org/b2"}
+    assert len({r[4] for r in authors}) == 1  # one shared item term
+    names = [r for r in rows if r[2] == S + "name"]
+    assert len(names) == 1 and names[0][4] == "Bob"
+
+
+def test_itemref_loop_is_dropped_not_infinite():
+    """A reference loop (item refers to its own ancestor) is the spec's
+    microdata error: the repeated element is skipped, parsing terminates."""
+    html = """
+    <div id="outer">
+      <div itemscope itemtype="http://schema.org/Thing" itemref="outer">
+        <span itemprop="name">n</span>
+      </div>
+    </div>
+    """
+    rows = parse_microdata(html, base_iri=B)
+    names = [r for r in rows if r[2] == S + "name"]
+    assert len(names) == 1 and names[0][4] == "n"
 
 
 def test_serializer_roundtrip_and_rejections():
