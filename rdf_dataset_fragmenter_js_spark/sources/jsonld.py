@@ -23,7 +23,9 @@ Coverage — the JSON-LD core that appears in real data documents:
   (node key and term-definition passthrough), ``@included`` blocks,
   container maps (``@index`` / ``@language`` / ``@id`` / ``@type``,
   incl. ``@none`` keys and ``["@set", ...]`` forms), ``@graph``
-  containers (fresh-bnode-named graphs), ``@json`` literals
+  containers (fresh-bnode-named graphs) incl. the composite
+  ``["@graph", "@id"]`` (map keys name the graphs) and
+  ``["@graph", "@index"]`` forms, ``@json`` literals
   (``rdf:JSON`` datatype, RFC 8785 JCS lexical form with ECMAScript
   number formatting), ``@direction`` accepted-and-dropped (toRDF's
   default ``rdfDirection: null`` mode — what the reference's
@@ -32,9 +34,8 @@ Coverage — the JSON-LD core that appears in real data documents:
 
 Exotic features fail fast with a targeted message instead of silently
 mis-parsing: REMOTE contexts (a context URL — the engine does no network
-I/O; pass them offline via the ``contexts=`` documentLoader mapping),
-composite container maps (``["@graph", "@id"]`` etc.), and framing
-documents.
+I/O; pass them offline via the ``contexts=`` documentLoader mapping)
+and framing documents.
 """
 
 from __future__ import annotations
@@ -255,10 +256,16 @@ class _Parser:
     @staticmethod
     def _normalize_container(container):
         """``@container`` → one of None/@list/@index/@language/@id/@type/
-        @graph. JSON-LD 1.1 array forms combine with ``@set``
-        (order-insensitive); ``@set`` alone is a no-op for toRDF."""
+        @graph/@graph@id/@graph@index. JSON-LD 1.1 array forms combine
+        with ``@set`` (order-insensitive) and ``@graph`` composes with
+        ``@id``/``@index`` (named-graph maps); ``@set`` alone is a no-op
+        for toRDF."""
         if isinstance(container, list):
-            rest = [c for c in container if c != "@set"]
+            rest = sorted(c for c in container if c != "@set")
+            if rest == ["@graph", "@id"]:
+                return "@graph@id"
+            if rest == ["@graph", "@index"]:
+                return "@graph@index"
             if len(rest) > 1:
                 raise NotImplementedError(
                     f"@container combination {container!r} is not supported"
@@ -429,15 +436,33 @@ class _Parser:
             if isinstance(raw, dict) and container in ("@index", "@language", "@id", "@type"):
                 raw = self._expand_container_map(container, raw, ctx)
             values = [v for v in (raw if isinstance(raw, list) else [raw]) if v is not None]
-            if container == "@graph":
-                # 1.1 graph container: each value is (or wraps into) a graph
-                # object; toRDF names the graph with a FRESH blank node,
-                # links subj --pred--> that bnode, and the value's triples
-                # land inside the named graph
-                for value in values:
-                    gb = self._fresh_bnode()
-                    self._emit(subj[0], subj[1], pred, "BlankNode", gb, g=graph)
-                    inner_g = "_:" + gb
+            if container in ("@graph", "@graph@id", "@graph@index"):
+                # 1.1 graph containers: each value is (or wraps into) a
+                # graph object; toRDF links subj --pred--> the graph name
+                # and the value's triples land inside that named graph.
+                # Plain @graph and @graph+@index name the graph with a
+                # FRESH blank node per value (@index keys are semantics-
+                # free in toRDF's default mode); @graph+@id names it with
+                # the map key expanded as an @id (the @none key falls back
+                # to a fresh blank node).
+                if container != "@graph" and isinstance(raw, dict):
+                    entries = [
+                        (k if container == "@graph@id" else None, v)
+                        for k, vs in raw.items()
+                        for v in (vs if isinstance(vs, list) else [vs])
+                        if v is not None
+                    ]
+                else:
+                    entries = [(None, v) for v in values]
+                for key, value in entries:
+                    if key is None or key == "@none":
+                        gterm = ("BlankNode", self._fresh_bnode())
+                    else:
+                        gterm = self._subject_term(key, ctx)
+                    self._emit(subj[0], subj[1], pred, gterm[0], gterm[1], g=graph)
+                    inner_g = (
+                        gterm[1] if gterm[0] == "NamedNode" else "_:" + gterm[1]
+                    )
                     if isinstance(value, dict) and "@graph" in value and not any(
                         k for k in value if k not in ("@context", "@graph", "@index")
                     ):

@@ -108,7 +108,7 @@ def test_exotic_features_fail_fast():
     with pytest.raises(NotImplementedError, match="@container combination"):
         parse_jsonld(
             '{"@context": {"p": {"@id": "http://p",'
-            ' "@container": ["@graph", "@id"]}},'
+            ' "@container": ["@language", "@id"]}},'
             ' "@id": "http://s", "p": {"http://g": {"http://q": "v"}}}'
         )
 
@@ -175,6 +175,47 @@ def test_graph_container():
         "http://n2": "_:" + links[1][4],
     }
     assert links[0][4] != links[1][4]
+
+
+def test_graph_id_container_map():
+    # ["@graph", "@id"]: map keys NAME the graphs (IRI or bnode); @none
+    # falls back to a fresh bnode graph like plain @graph
+    rows = parse_jsonld(
+        '{"@context": {"claims": {"@id": "http://claims",'
+        ' "@container": ["@graph", "@id"]}},'
+        ' "@id": "http://s",'
+        ' "claims": {'
+        '   "http://g1": {"@id": "http://n1", "http://p": "v1"},'
+        '   "_:gb":      {"@id": "http://n2", "http://p": "v2"},'
+        '   "@none":     {"@id": "http://n3", "http://p": "v3"}}}'
+    )
+    links = {(r[3], r[4]) for r in rows if r[2] == "http://claims"}
+    inner = {r[1]: (r[4], r[7]) for r in rows if r[2] == "http://p"}
+    assert inner["http://n1"] == ("v1", "http://g1")
+    assert ("NamedNode", "http://g1") in links
+    # the bnode key names the graph AND is linked from the subject
+    g2 = inner["http://n2"][1]
+    assert g2.startswith("_:") and ("BlankNode", g2[2:]) in links
+    # @none gets a fresh bnode graph, also linked
+    g3 = inner["http://n3"][1]
+    assert g3.startswith("_:") and ("BlankNode", g3[2:]) in links and g3 != g2
+
+
+def test_graph_index_container_map():
+    # ["@graph", "@index"]: keys are semantics-free indexes; each value
+    # becomes a fresh-bnode-named graph linked from the subject
+    rows = parse_jsonld(
+        '{"@context": {"claims": {"@id": "http://claims",'
+        ' "@container": ["@graph", "@index", "@set"]}},'
+        ' "@id": "http://s",'
+        ' "claims": {"a": {"@id": "http://n1", "http://p": "v1"},'
+        '            "b": [{"@id": "http://n2", "http://p": "v2"}]}}'
+    )
+    links = [r for r in rows if r[2] == "http://claims"]
+    assert len(links) == 2 and all(r[3] == "BlankNode" for r in links)
+    inner = {r[1]: r[7] for r in rows if r[2] == "http://p"}
+    assert set(inner.values()) == {"_:" + r[4] for r in links}
+    assert len(set(inner.values())) == 2
 
 
 def test_reverse_node_key_and_term():
