@@ -829,6 +829,25 @@ def q_text_tokens(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style word-repetition signals (top 2-/3-gram char fraction,
+    duplicate-5-gram char fraction, unique-word fraction). Oracle: the same
+    tagged n-gram explode in SQL (UNION ALL of fixed-width concatenations)."""
+    return Q.repetition_signals(_docs(spark, sf_dir))
+
+
+def q_text_quality_filter(spark, sf_dir):
+    """Composite Gopher/C4-style keep/drop verdict with first-failing-rule
+    reason — a pure shuffle-free scan (native array lambdas, no UDFs)."""
+    return Q.quality_filter(_docs(spark, sf_dir))
+
+
+def q_text_sample_hash(spark, sf_dir):
+    """Deterministic content-hash sampling (~25 % by first md5 hex digit):
+    stable across runs/partitionings/engines, unlike df.sample()."""
+    return Q.deterministic_sample(_docs(spark, sf_dir))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media columns → Arrow-batched decode/featurize over REAL
     container formats: P6 PPM images (header parse → grayscale → 8×8
@@ -935,6 +954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries in dict-insertion order, so the least-recently-driver-checked
         # entries (the LLM-data operators, skipped in CORRECTNESS_r04.json)
         # come FIRST to guarantee they land inside the snapshot window.
+        "text_repetition": q_text_repetition,
+        "text_quality_filter": q_text_quality_filter,
+        "text_sample_hash": q_text_sample_hash,
         "sink_hdt_roundtrip": q_sink_hdt_roundtrip,
         "multimodal_features": q_multimodal_features,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -2014,6 +2036,96 @@ def oracle_sql() -> dict[str, str]:
                           regexp_replace(text, '[\\w]+|[^\\w\\s]', chr(1), 'g'),
                           '[^' || chr(1) || ']', '', 'g')) AS BIGINT) AS n_word_units
             FROM documents
+        """,
+        "text_repetition": """
+            WITH w AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, n_chars, 1 AS n, unnest(ws) AS gram FROM w
+              UNION ALL
+              SELECT doc_id, n_chars, 2, ws[i] || ' ' || ws[i+1]
+              FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+              UNION ALL
+              SELECT doc_id, n_chars, 3, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+              FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              UNION ALL
+              SELECT doc_id, n_chars, 5,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+              FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+            ), counts AS (
+              SELECT doc_id, n_chars, n, gram, count(*) AS c FROM grams GROUP BY ALL
+            ), per_n AS (
+              -- struct max = (count, gram) lexicographic, matching Spark's
+              -- max(struct(c, gram)) tie-break toward the larger gram
+              SELECT doc_id, n_chars, n,
+                     max(struct_pack(c := c, gram := gram)) AS top,
+                     sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dup_chars,
+                     sum(c) AS total, count(*) AS n_distinct
+              FROM counts GROUP BY ALL
+            ), piv AS (
+              SELECT doc_id,
+                round(coalesce(max(CASE WHEN n = 2 THEN (top.c * length(top.gram))::DOUBLE
+                                                        / greatest(n_chars, 1) END), 0), 6) AS top2gram_frac,
+                round(coalesce(max(CASE WHEN n = 3 THEN (top.c * length(top.gram))::DOUBLE
+                                                        / greatest(n_chars, 1) END), 0), 6) AS top3gram_frac,
+                -- least() ignores NULLs in DuckDB too: cap AFTER the coalesce
+                round(least(coalesce(max(CASE WHEN n = 5 THEN dup_chars::DOUBLE
+                                                             / greatest(n_chars, 1) END), 0), 1.0), 6) AS dup5gram_frac,
+                round(coalesce(max(CASE WHEN n = 1 THEN n_distinct::DOUBLE / total END), 0), 6) AS uniq_word_frac
+              FROM per_n GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.top2gram_frac, 0.0) AS top2gram_frac,
+                   coalesce(p.top3gram_frac, 0.0) AS top3gram_frac,
+                   coalesce(p.dup5gram_frac, 0.0) AS dup5gram_frac,
+                   coalesce(p.uniq_word_frac, 0.0) AS uniq_word_frac
+            FROM documents d LEFT JOIN piv p USING (doc_id)
+        """,
+        "text_quality_filter": f"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::DOUBLE
+                       / greatest(len(ws), 1) AS mwl,
+                     len(list_distinct(ws))::DOUBLE / greatest(len(ws), 1) AS uf,
+                     coalesce(list_max(list_transform(list_distinct(ws),
+                                x -> len(list_filter(ws, y -> y = x)))), 0)::DOUBLE
+                       / greatest(len(ws), 1) AS tf,
+                     {_stopword_hits_sql("en")} AS en_hits
+              FROM w
+            ), v AS (
+              SELECT doc_id, n_words, mwl, uf, tf,
+                     CASE WHEN n_words < 20 THEN 'too_few_words'
+                          WHEN n_words > 100000 THEN 'too_many_words'
+                          WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_length'
+                          WHEN uf < 0.4 THEN 'low_diversity'
+                          WHEN tf > 0.2 THEN 'repetitive_top_word'
+                          WHEN en_hits < 1 THEN 'no_stopwords'
+                          ELSE 'ok' END AS reason
+              FROM m
+            )
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   round(mwl, 6) AS mean_word_len,
+                   round(uf, 6) AS uniq_word_frac,
+                   round(tf, 6) AS top_word_frac,
+                   reason, (reason = 'ok') AS keep
+            FROM v
+        """,
+        "text_sample_hash": """
+            WITH h AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS sample_hash
+              FROM documents
+            )
+            SELECT doc_id, sample_hash FROM h WHERE substring(sample_hash, 1, 1) < '4'
         """,
         "multimodal_features": """
             -- real container formats: P6 PPM = 13-byte header ('P6\\n16 12\\n255\\n')

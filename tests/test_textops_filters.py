@@ -1,0 +1,121 @@
+"""Webtext training-data filters: Gopher-style repetition signals, the
+composite quality-filter verdict, and deterministic hash sampling
+(textops/quality.py). Fixtures are hand-computed."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from rdf_dataset_fragmenter_js_spark.textops import quality as Q
+
+
+def _one(df, doc_id):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}[doc_id]
+
+
+@pytest.fixture(scope="module")
+def rep(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b c"),  # 9 chars
+            (1, "x y x y x y x y x y x y"),  # 12 words, 23 chars
+            (2, ""),  # zero words
+            (3, "solo"),  # 1 word: no 2/3/5-grams at all
+        ],
+        "doc_id long, text string",
+    )
+    return {r["doc_id"]: r.asDict() for r in Q.repetition_signals(docs).collect()}
+
+
+def test_repetition_basic(rep):
+    r = rep[0]
+    # 2-grams: 'a b'x2, 'b a', 'b c' -> top = (2, 'a b'): 2*3/9
+    assert r["top2gram_frac"] == round(2 * 3 / 9, 6)
+    # 3-grams all count 1 -> tie broken toward the largest gram 'b a b' (len 5)
+    assert r["top3gram_frac"] == round(1 * 5 / 9, 6)
+    # only one 5-gram, no duplicates
+    assert r["dup5gram_frac"] == 0.0
+    # words: a,b,a,b,c -> 3 distinct / 5
+    assert r["uniq_word_frac"] == 0.6
+
+
+def test_repetition_dup5_capped(rep):
+    r = rep[1]
+    # every 5-gram is one of two alternating grams, each appearing 4 times:
+    # dup chars = 8 * 9 = 72 > 23 chars -> capped at 1.0
+    assert r["dup5gram_frac"] == 1.0
+    # 'x y' x6 of 11 2-grams -> 6*3/23
+    assert r["top2gram_frac"] == round(6 * 3 / 23, 6)
+    assert r["uniq_word_frac"] == round(2 / 12, 6)
+
+
+def test_repetition_degenerate_docs(rep):
+    # zero-word and sub-n docs still get a row (left join), all-zero signals
+    assert rep[2] == {
+        "doc_id": 2,
+        "top2gram_frac": 0.0,
+        "top3gram_frac": 0.0,
+        "dup5gram_frac": 0.0,
+        "uniq_word_frac": 0.0,
+    }
+    r3 = rep[3]
+    assert (r3["top2gram_frac"], r3["dup5gram_frac"]) == (0.0, 0.0)
+    assert r3["uniq_word_frac"] == 1.0
+
+
+def test_quality_filter_reasons(spark):
+    w4 = [f"w{i:03d}" for i in range(20)]  # 20 distinct 4-char words
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat"),  # 2 words
+            (1, " ".join("ab" for _ in range(25))),  # mean word len 2
+            (2, " ".join(["wxyz", "abcd", "efgh", "ijkl"] * 5)),  # uniq 4/20
+            (3, " ".join(["aaaa"] * 5 + w4[:15])),  # top 5/20, uniq 16/20
+            (4, " ".join(w4)),  # clean but no stopwords
+            (5, " ".join(w4[:19] + ["the"])),  # keeps
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in Q.quality_filter(docs).collect()}
+    assert out[0]["reason"] == "too_few_words"
+    assert out[1]["reason"] == "word_length"
+    assert out[2]["reason"] == "low_diversity"
+    assert out[3]["reason"] == "repetitive_top_word"
+    assert out[4]["reason"] == "no_stopwords"
+    assert out[5]["reason"] == "ok"
+    assert [out[i]["keep"] for i in range(6)] == [False] * 5 + [True]
+    # metric spot-checks
+    assert out[3]["top_word_frac"] == 0.25
+    assert out[2]["uniq_word_frac"] == 0.2
+    assert out[5]["n_words"] == 20
+
+
+def test_deterministic_sample_matches_hashlib(spark):
+    rows = [(i, f"Doc {i} body  text") for i in range(64)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["sample_hash"] for r in Q.deterministic_sample(docs).collect()}
+    expect = {}
+    for i, text in rows:
+        norm = " ".join(text.lower().strip().split())  # collapse whitespace
+        h = hashlib.md5(norm.encode()).hexdigest()
+        if h[0] < "4":
+            expect[i] = h
+    assert out == expect
+    assert 0 < len(out) < 64  # both outcomes exercised
+    # re-run is identical (stable across partitionings)
+    again = {
+        r["doc_id"]: r["sample_hash"]
+        for r in Q.deterministic_sample(docs.repartition(7)).collect()
+    }
+    assert again == out
+
+
+def test_deterministic_sample_salt_rotates(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(64)], "doc_id long, text string"
+    )
+    a = {r["doc_id"] for r in Q.deterministic_sample(docs).collect()}
+    b = {r["doc_id"] for r in Q.deterministic_sample(docs, salt="s1").collect()}
+    assert a != b
