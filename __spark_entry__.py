@@ -37,6 +37,7 @@ from rdf_dataset_fragmenter_js_spark.strategies.summaries import (
     void_property_partitions,
     void_summary,
 )
+from rdf_dataset_fragmenter_js_spark.textops import corpus as CP
 from rdf_dataset_fragmenter_js_spark.textops import dedup as D
 from rdf_dataset_fragmenter_js_spark.textops import quality as Q
 from rdf_dataset_fragmenter_js_spark.textops import similarity as S
@@ -848,6 +849,22 @@ def q_text_sample_hash(spark, sf_dir):
     return Q.deterministic_sample(_docs(spark, sf_dir))
 
 
+def q_decontaminate(spark, sf_dir):
+    """GPT-3/PaLM-style train/test decontamination: benchmark = every 50th
+    document; word-8-gram overlap flags those docs plus their near-dup
+    clones. Benchmark n-gram set is explicitly broadcast (the scale-correct
+    plan: eval sets are tiny vs the 100-TB corpus)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return CP.decontaminate(docs, bench, n=8)
+
+
+def q_corpus_pack_shards(spark, sf_dir):
+    """Token-budget shard packing: fixed-order first-fit within each lang
+    stream (one window partitioned by stream — parallel across streams)."""
+    return CP.pack_shards(_docs(spark, sf_dir), budget_tokens=2000)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media columns → Arrow-batched decode/featurize over REAL
     container formats: P6 PPM images (header parse → grayscale → 8×8
@@ -957,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_quality_filter": q_text_quality_filter,
         "text_sample_hash": q_text_sample_hash,
+        "decontaminate": q_decontaminate,
+        "corpus_pack_shards": q_corpus_pack_shards,
         "sink_hdt_roundtrip": q_sink_hdt_roundtrip,
         "multimodal_features": q_multimodal_features,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -2126,6 +2145,39 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, sample_hash FROM h WHERE substring(sample_hash, 1, 1) < '4'
+        """,
+        "decontaminate": """
+            WITH w AS (
+              SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                     ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS gram
+              FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+            ), bg AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+            ), hits AS (
+              SELECT doc_id, count(DISTINCT gram) AS c
+              FROM g JOIN bg USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.c, 0) AS BIGINT) AS n_contaminated_grams,
+                   coalesce(h.c, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "corpus_pack_shards": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok
+              FROM documents
+            )
+            SELECT doc_id, lang AS stream, CAST(ntok AS BIGINT) AS n_tokens,
+                   CAST(floor((sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id) - ntok)
+                              / 2000.0) AS BIGINT) AS shard_id
+            FROM t
         """,
         "multimodal_features": """
             -- real container formats: P6 PPM = 13-byte header ('P6\\n16 12\\n255\\n')

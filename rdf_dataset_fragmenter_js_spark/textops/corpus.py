@@ -1,0 +1,99 @@
+"""Corpus-hygiene operators for training-data pipelines: benchmark
+decontamination (word n-gram overlap, the published GPT-3/PaLM-style
+procedure) and token-budget shard packing. Both are pure DataFrame
+compositions — no Python UDFs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rdf_dataset_fragmenter_js_spark.textops.quality import (
+    _word_ngrams,
+    _words_col,
+    token_count_col,
+)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/test decontamination: flag every training document that shares
+    at least one word ``n``-gram with a benchmark/eval corpus (the overlap
+    rule published for GPT-3 appendix C / PaLM: n-gram collision against the
+    eval set ⇒ remove or mark). Returns one row per input document:
+    ``(doc_id, n_contaminated_grams, contaminated)`` where the count is over
+    DISTINCT offending n-grams per document.
+
+    Scale shape: the benchmark n-gram set is benchmark-sized (thousands of
+    docs) while the corpus is the 100-TB side, so the benchmark side is
+    distinct-ed and explicitly ``F.broadcast`` — the corpus side is a single
+    scan + explode with a per-doc dropDuplicates, one map-side-combinable
+    hash agg on doc_id, and a final doc_id-keyed left join back. No shuffle
+    ever carries the corpus n-gram explosion to a join — the broadcast hash
+    join filters it in-stage."""
+    text = F.col(text_col)
+    bgrams = benchmark.select(
+        F.explode(_word_ngrams(_words_col(text), n)).alias("gram")
+    ).distinct()
+    dgrams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_word_ngrams(_words_col(text), n)).alias("gram"),
+        )
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    hits = (
+        dgrams.join(F.broadcast(bgrams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_grams", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget_tokens: int = 2000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> DataFrame:
+    """Token-budget shard packing: assign documents to training shards of
+    ~``budget_tokens`` whitespace tokens, greedily in deterministic
+    ``id_col`` order within each ``stream_col`` stream — the standard
+    fixed-order first-fit used by real pipelines (exact bin packing is
+    NP-hard and would destroy reproducibility). A document starts a new
+    shard when the running total before it has consumed the budget:
+    ``shard_id = floor((cumsum - own_tokens) / budget)``, so single
+    documents larger than the budget get a shard of their own and never
+    stall the stream.
+
+    Scale shape: ONE window, partitioned by the stream column — packing
+    parallelizes across streams (language/source/bucket), and the
+    within-stream running sum is the inherent sequential dependency of
+    sequence packing. For a corpus with few streams, pre-bucket (e.g.
+    ``stream_col`` = hash(doc_id) % k) to restore parallelism; shard ids
+    are only meaningful per stream either way."""
+    toks = token_count_col(F.col(text_col))
+    w = Window.partitionBy(stream_col).orderBy(id_col)
+    cum = F.sum(toks).over(w)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stream_col).alias("stream"),
+        toks.cast("long").alias("n_tokens"),
+        F.floor((cum - toks) / F.lit(float(budget_tokens))).cast("long").alias("shard_id"),
+    )

@@ -119,3 +119,57 @@ def test_deterministic_sample_salt_rotates(spark):
     a = {r["doc_id"] for r in Q.deterministic_sample(docs).collect()}
     b = {r["doc_id"] for r in Q.deterministic_sample(docs, salt="s1").collect()}
     assert a != b
+
+
+def test_decontaminate_word8gram_overlap(spark):
+    from rdf_dataset_fragmenter_js_spark.textops import corpus as CP
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j"),  # the benchmark doc
+            (1, "z z z a b c d e f g h zz"),  # contains 'a b c d e f g h'
+            (2, "q r s t u v w x y"),  # clean
+            (3, "too short"),  # < 8 words: no grams, clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.where("doc_id = 0")
+    out = {r["doc_id"]: r.asDict() for r in CP.decontaminate(docs, bench, n=8).collect()}
+    assert out[0] == {"doc_id": 0, "n_contaminated_grams": 3, "contaminated": True}
+    assert out[1] == {"doc_id": 1, "n_contaminated_grams": 1, "contaminated": True}
+    assert out[2]["contaminated"] is False and out[2]["n_contaminated_grams"] == 0
+    assert out[3]["contaminated"] is False
+    # the benchmark side must be the broadcast side of the join
+    plan = CP.decontaminate(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_shards_budget_boundaries(spark):
+    from rdf_dataset_fragmenter_js_spark.textops import corpus as CP
+
+    def words(n, w="tok"):
+        return " ".join(f"{w}{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", words(4)),
+            (2, "en", words(5)),
+            (3, "en", words(3)),  # cum 12: still shard 0 (started at 9 < 10)
+            (4, "en", words(12)),  # oversize doc: own shard 1
+            (5, "en", words(2)),  # cum-before 24 -> shard 2
+            (6, "de", words(7)),  # independent stream restarts at shard 0
+            (7, "de", words(9)),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["stream"], r["n_tokens"], r["shard_id"])
+        for r in CP.pack_shards(docs, budget_tokens=10).collect()
+    }
+    assert out[1] == ("en", 4, 0)
+    assert out[2] == ("en", 5, 0)
+    assert out[3] == ("en", 3, 0)
+    assert out[4] == ("en", 12, 1)
+    assert out[5] == ("en", 2, 2)
+    assert out[6] == ("de", 7, 0)
+    assert out[7] == ("de", 9, 0)
