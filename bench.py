@@ -34,6 +34,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality",
+    "text_repetition",
+    "text_quality_filter",
+    "decontaminate",
+    "corpus_pack_shards",
     "sim_cosine_topk",
     "events_sessionize",
 ]
