@@ -865,6 +865,15 @@ def q_corpus_pack_shards(spark, sf_dir):
     return CP.pack_shards(_docs(spark, sf_dir), budget_tokens=2000)
 
 
+def q_corpus_prepare(spark, sf_dir):
+    """End-to-end training-data prep: quality filter → decontamination
+    (benchmark = every 50th doc) → exact dedup → shard packing, one lazy
+    plan. Oracle: the same four stages composed in SQL."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return CP.prepare_corpus(docs, bench, budget_tokens=2000, n=8)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media columns → Arrow-batched decode/featurize over REAL
     container formats: P6 PPM images (header parse → grayscale → 8×8
@@ -976,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample_hash": q_text_sample_hash,
         "decontaminate": q_decontaminate,
         "corpus_pack_shards": q_corpus_pack_shards,
+        "corpus_prepare": q_corpus_prepare,
         "sink_hdt_roundtrip": q_sink_hdt_roundtrip,
         "multimodal_features": q_multimodal_features,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -2178,6 +2188,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id) - ntok)
                               / 2000.0) AS BIGINT) AS shard_id
             FROM t
+        """,
+        "corpus_prepare": f"""
+            WITH w AS (
+              SELECT doc_id, lang, text,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+              FROM documents
+            ), q AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, len(ws) AS n_words,
+                       coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::DOUBLE
+                         / greatest(len(ws), 1) AS mwl,
+                       len(list_distinct(ws))::DOUBLE / greatest(len(ws), 1) AS uf,
+                       coalesce(list_max(list_transform(list_distinct(ws),
+                                  x -> len(list_filter(ws, y -> y = x)))), 0)::DOUBLE
+                         / greatest(len(ws), 1) AS tf,
+                       {_stopword_hits_sql("en")} AS en_hits
+                FROM w)
+              WHERE n_words >= 20 AND n_words <= 100000
+                AND mwl >= 3.0 AND mwl <= 10.0
+                AND uf >= 0.4 AND tf <= 0.2 AND en_hits >= 1
+            ), g AS (
+              SELECT doc_id,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                     ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS gram
+              FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+            ), bg AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+            ), contaminated AS (
+              SELECT DISTINCT doc_id FROM g JOIN bg USING (gram)
+            ), canon AS (
+              SELECT min(doc_id) AS doc_id
+              FROM (SELECT doc_id, md5(text) AS h FROM documents) GROUP BY h
+            ), surv AS (
+              SELECT d.doc_id, d.lang,
+                     CASE WHEN trim(d.text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS ntok
+              FROM documents d
+              JOIN q USING (doc_id) JOIN canon USING (doc_id)
+              WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+            )
+            SELECT doc_id, lang AS stream, CAST(ntok AS BIGINT) AS n_tokens,
+                   CAST(floor((sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id) - ntok)
+                              / 2000.0) AS BIGINT) AS shard_id
+            FROM surv
         """,
         "multimodal_features": """
             -- real container formats: P6 PPM = 13-byte header ('P6\\n16 12\\n255\\n')

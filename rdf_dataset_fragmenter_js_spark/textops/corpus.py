@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from rdf_dataset_fragmenter_js_spark.textops.quality import (
     _word_ngrams,
     _words_col,
+    quality_filter,
     token_count_col,
 )
 
@@ -96,4 +97,51 @@ def pack_shards(
         F.col(stream_col).alias("stream"),
         toks.cast("long").alias("n_tokens"),
         F.floor((cum - toks) / F.lit(float(budget_tokens))).cast("long").alias("shard_id"),
+    )
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    budget_tokens: int = 2000,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> DataFrame:
+    """End-to-end training-data preparation, the composition every LLM data
+    pipeline ships: quality filter (keep only documents passing every
+    Gopher/C4-style rule) → benchmark decontamination (drop any document
+    sharing a word ``n``-gram with the eval set) → exact dedup (keep the
+    canonical min-id document per content hash) → token-budget shard
+    packing of the survivors. Returns the packed survivor set
+    ``(doc_id, stream, n_tokens, shard_id)``.
+
+    The whole composition is ONE lazy plan — Catalyst shares the base scan
+    where it can and the stages keep their individual scale shapes: the
+    verdict is a shuffle-free scan, decontamination filters the corpus-side
+    explode in-stage against the broadcast benchmark set, dedup is one hash
+    shuffle, and the final window runs over the survivor set (a fraction of
+    the corpus), stream-partitioned."""
+    from rdf_dataset_fragmenter_js_spark.textops.dedup import exact_dedup
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.col(stream_col).alias("stream_v"),
+    )
+    kept = quality_filter(base).where(F.col("keep")).select("doc_id")
+    clean = (
+        decontaminate(base, benchmark, n=n)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    canonical = exact_dedup(base).where(~F.col("is_duplicate")).select("doc_id")
+    survivors = base.join(kept, "doc_id").join(clean, "doc_id").join(canonical, "doc_id")
+    return pack_shards(
+        survivors,
+        budget_tokens=budget_tokens,
+        id_col="doc_id",
+        text_col="text",
+        stream_col="stream_v",
     )

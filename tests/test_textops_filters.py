@@ -173,3 +173,28 @@ def test_pack_shards_budget_boundaries(spark):
     assert out[5] == ("en", 2, 2)
     assert out[6] == ("de", 7, 0)
     assert out[7] == ("de", 9, 0)
+
+
+def test_prepare_corpus_stage_composition(spark):
+    from rdf_dataset_fragmenter_js_spark.textops import corpus as CP
+
+    bw = [f"bm{i:02d}" for i in range(23)] + ["the"]
+    d1 = [f"wd{i:02d}" for i in range(23)] + ["the"]
+    d3 = [f"zz{i:02d}" for i in range(15)] + bw[0:8] + ["the"]
+    d5 = [f"qq{i:02d}" for i in range(23)] + ["the"]
+    docs = spark.createDataFrame(
+        [
+            (1, "en", " ".join(d1)),  # survives
+            (2, "en", " ".join(d1)),  # exact duplicate of 1: dedup drops it
+            (3, "en", " ".join(d3)),  # shares an 8-gram with the benchmark
+            (4, "en", "the cat"),  # fails quality (too few words)
+            (5, "en", " ".join(d5)),  # survives, second shard at budget 20
+        ],
+        "doc_id long, lang string, text string",
+    )
+    bench = spark.createDataFrame([(100, "en", " ".join(bw))], docs.schema)
+    out = {
+        r["doc_id"]: (r["stream"], r["n_tokens"], r["shard_id"])
+        for r in CP.prepare_corpus(docs, bench, budget_tokens=20).collect()
+    }
+    assert out == {1: ("en", 24, 0), 5: ("en", 24, 1)}
