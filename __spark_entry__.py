@@ -1090,6 +1090,30 @@ FROM banded a JOIN banded b
 """
 
 
+# Word-8-gram CTE chain over a prior CTE `w(doc_id, ws, ...)` — zipped
+# unnest + window lead(), not a lateral generate_series join (the lateral
+# form carries the ws list per row and OOMs at sf1; see text_repetition).
+_WORD_8GRAMS_SQL = """
+              SELECT doc_id,
+                     unnest(ws) AS w0,
+                     unnest(generate_series(1, len(ws))) AS pos
+              FROM w
+            ), led AS (
+              SELECT doc_id, w0,
+                     lead(w0, 1) OVER win AS w1, lead(w0, 2) OVER win AS w2,
+                     lead(w0, 3) OVER win AS w3, lead(w0, 4) OVER win AS w4,
+                     lead(w0, 5) OVER win AS w5, lead(w0, 6) OVER win AS w6,
+                     lead(w0, 7) OVER win AS w7
+              FROM toks
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            ), g AS (
+              SELECT doc_id,
+                     w0 || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' ||
+                     w4 || ' ' || w5 || ' ' || w6 || ' ' || w7 AS gram
+              FROM led WHERE w7 IS NOT NULL
+"""
+
+
 def _stopword_hits_sql(lang: str) -> str:
     words = Q.STOPWORDS[lang]
     terms = " + ".join(
@@ -2067,23 +2091,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_repetition": """
+            -- n-grams via zipped unnest + window lead(), NOT a lateral
+            -- unnest(generate_series(...)) join: the lateral form carries the
+            -- full ws list into every emitted row and OOMs at sf1 (measured:
+            -- 125 GB rss); the lead() form streams one word per row.
             WITH w AS (
               SELECT doc_id, length(text) AS n_chars,
                      CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                           ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
               FROM documents
+            ), toks AS (
+              SELECT doc_id, n_chars,
+                     unnest(ws) AS w0,
+                     unnest(generate_series(1, len(ws))) AS pos
+              FROM w
+            ), led AS (
+              SELECT doc_id, n_chars, w0,
+                     lead(w0, 1) OVER win AS w1,
+                     lead(w0, 2) OVER win AS w2,
+                     lead(w0, 3) OVER win AS w3,
+                     lead(w0, 4) OVER win AS w4
+              FROM toks
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
             ), grams AS (
-              SELECT doc_id, n_chars, 1 AS n, unnest(ws) AS gram FROM w
+              SELECT doc_id, n_chars, 1 AS n, w0 AS gram FROM led
               UNION ALL
-              SELECT doc_id, n_chars, 2, ws[i] || ' ' || ws[i+1]
-              FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+              SELECT doc_id, n_chars, 2, w0 || ' ' || w1 FROM led WHERE w1 IS NOT NULL
               UNION ALL
-              SELECT doc_id, n_chars, 3, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-              FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              SELECT doc_id, n_chars, 3, w0 || ' ' || w1 || ' ' || w2
+              FROM led WHERE w2 IS NOT NULL
               UNION ALL
               SELECT doc_id, n_chars, 5,
-                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
-              FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+                     w0 || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+              FROM led WHERE w4 IS NOT NULL
             ), counts AS (
               SELECT doc_id, n_chars, n, gram, count(*) AS c FROM grams GROUP BY ALL
             ), per_n AS (
@@ -2156,16 +2196,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, sample_hash FROM h WHERE substring(sample_hash, 1, 1) < '4'
         """,
-        "decontaminate": """
+        "decontaminate": f"""
             WITH w AS (
               SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                                   ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
               FROM documents
-            ), g AS (
-              SELECT doc_id,
-                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
-                     ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS gram
-              FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+            ), toks AS ({_WORD_8GRAMS_SQL}
             ), bg AS (
               SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
             ), hits AS (
@@ -2209,11 +2245,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE n_words >= 20 AND n_words <= 100000
                 AND mwl >= 3.0 AND mwl <= 10.0
                 AND uf >= 0.4 AND tf <= 0.2 AND en_hits >= 1
-            ), g AS (
-              SELECT doc_id,
-                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
-                     ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS gram
-              FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+            ), toks AS ({_WORD_8GRAMS_SQL}
             ), bg AS (
               SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
             ), contaminated AS (

@@ -58,6 +58,12 @@ def main():
     import __spark_entry__ as entrymod
 
     con = duckdb.connect()
+    # bound the oracle engine: an unbounded DuckDB shares the address space
+    # with the Spark driver, and one heavyweight oracle plan can OOM-kill
+    # the whole gate process (observed at sf1). With a cap it spills to disk
+    # and finishes instead.
+    con.execute(f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCKDB_MEM', '48GB')}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
