@@ -2126,19 +2126,32 @@ def oracle_sql() -> dict[str, str]:
               FROM led WHERE w4 IS NOT NULL
             ), counts AS (
               SELECT doc_id, n_chars, n, gram, count(*) AS c FROM grams GROUP BY ALL
-            ), per_n AS (
-              -- struct max = (count, gram) lexicographic, matching Spark's
-              -- max(struct(c, gram)) tie-break toward the larger gram
+            ), per_stats AS (
               SELECT doc_id, n_chars, n,
-                     max(struct_pack(c := c, gram := gram)) AS top,
                      sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dup_chars,
                      sum(c) AS total, count(*) AS n_distinct
               FROM counts GROUP BY ALL
+            ), per_top AS (
+              -- arg-max by (count, gram) lexicographic — same tie-break as
+              -- Spark's max(struct(c, gram)). row_number, NOT
+              -- max(struct_pack(...)): the struct aggregate's per-group
+              -- string state is pathologically slow/large in DuckDB at
+              -- sf1 (measured 74 s + OOM vs <10 s for the window).
+              SELECT doc_id, n, top_c, top_len FROM (
+                SELECT doc_id, n, c AS top_c, length(gram) AS top_len,
+                       row_number() OVER (PARTITION BY doc_id, n
+                                          ORDER BY c DESC, gram DESC) AS rn
+                FROM counts)
+              WHERE rn = 1
+            ), per_n AS (
+              SELECT s.doc_id, s.n_chars, s.n, t.top_c, t.top_len,
+                     s.dup_chars, s.total, s.n_distinct
+              FROM per_stats s JOIN per_top t USING (doc_id, n)
             ), piv AS (
               SELECT doc_id,
-                round(coalesce(max(CASE WHEN n = 2 THEN (top.c * length(top.gram))::DOUBLE
+                round(coalesce(max(CASE WHEN n = 2 THEN (top_c * top_len)::DOUBLE
                                                         / greatest(n_chars, 1) END), 0), 6) AS top2gram_frac,
-                round(coalesce(max(CASE WHEN n = 3 THEN (top.c * length(top.gram))::DOUBLE
+                round(coalesce(max(CASE WHEN n = 3 THEN (top_c * top_len)::DOUBLE
                                                         / greatest(n_chars, 1) END), 0), 6) AS top3gram_frac,
                 -- least() ignores NULLs in DuckDB too: cap AFTER the coalesce
                 round(least(coalesce(max(CASE WHEN n = 5 THEN dup_chars::DOUBLE
