@@ -865,6 +865,12 @@ def q_corpus_pack_shards(spark, sf_dir):
     return CP.pack_shards(_docs(spark, sf_dir), budget_tokens=2000)
 
 
+def q_corpus_vocab(spark, sf_dir):
+    """Corpus-level top-k vocabulary (BPE/tokenizer seeding): one hash agg
+    keyed on word, then TakeOrderedAndProject — never a full sort."""
+    return CP.corpus_vocab(_docs(spark, sf_dir), top_k=20)
+
+
 def q_corpus_prepare(spark, sf_dir):
     """End-to-end training-data prep: quality filter → decontamination
     (benchmark = every 50th doc) → exact dedup → shard packing, one lazy
@@ -985,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample_hash": q_text_sample_hash,
         "decontaminate": q_decontaminate,
         "corpus_pack_shards": q_corpus_pack_shards,
+        "corpus_vocab": q_corpus_vocab,
         "corpus_prepare": q_corpus_prepare,
         "sink_hdt_roundtrip": q_sink_hdt_roundtrip,
         "multimodal_features": q_multimodal_features,
@@ -2237,6 +2244,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id) - ntok)
                               / 2000.0) AS BIGINT) AS shard_id
             FROM t
+        """,
+        "corpus_vocab": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                                 ELSE regexp_split_to_array(trim(text), '\\s+') END) AS word
+              FROM documents
+            ), c AS (
+              SELECT word, count(*) AS n_occurrences,
+                     count(DISTINCT doc_id) AS doc_freq
+              FROM t GROUP BY word
+            )
+            SELECT word, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+                   CAST(doc_freq AS BIGINT) AS doc_freq
+            FROM c ORDER BY n_occurrences DESC, word ASC LIMIT 20
         """,
         "corpus_prepare": f"""
             WITH w AS (

@@ -100,6 +100,37 @@ def pack_shards(
     )
 
 
+def corpus_vocab(
+    docs: DataFrame,
+    top_k: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level vocabulary extraction: the ``top_k`` most frequent
+    whitespace words with their total counts and document frequencies — the
+    aggregation that seeds BPE/tokenizer training and stopword discovery.
+    Ties broken toward the lexicographically smaller word so the result is
+    fully deterministic (and SQL-twin-able).
+
+    Scale shape: explode → one map-side-combinable hash agg keyed on word
+    (vocabulary-sized output, not corpus-sized), then a global top-k that
+    Spark plans as TakeOrderedAndProject — per-partition heaps of k rows,
+    never a full sort of the vocabulary."""
+    words = _words_col(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col).alias("_doc"), F.explode(words).alias("word")
+    )
+    counts = exploded.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("_doc").alias("doc_freq"),
+    )
+    return (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+        .limit(top_k)
+        .select("word", "n_occurrences", "doc_freq")
+    )
+
+
 def prepare_corpus(
     docs: DataFrame,
     benchmark: DataFrame,

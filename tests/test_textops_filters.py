@@ -198,3 +198,24 @@ def test_prepare_corpus_stage_composition(spark):
         for r in CP.prepare_corpus(docs, bench, budget_tokens=20).collect()
     }
     assert out == {1: ("en", 24, 0), 5: ("en", 24, 1)}
+
+
+def test_corpus_vocab_topk_and_ties(spark):
+    from rdf_dataset_fragmenter_js_spark.textops import corpus as CP
+
+    docs = spark.createDataFrame(
+        [
+            (1, "b a b c b"),
+            (2, "a c a d"),
+            (3, "e e"),
+        ],
+        "doc_id long, text string",
+    )
+    # totals: a=3(df2), b=3(df1), c=2(df2), e=2(df1), d=1(df2)
+    rows = CP.corpus_vocab(docs, top_k=4).collect()
+    got = [(r["word"], r["n_occurrences"], r["doc_freq"]) for r in rows]
+    # ties (a/b at 3, c/e at 2) broken toward the smaller word; d cut by k=4
+    assert got == [("a", 3, 2), ("b", 3, 1), ("c", 2, 2), ("e", 2, 1)]
+    # global top-k must plan as TakeOrderedAndProject, not a full sort
+    plan = CP.corpus_vocab(docs, top_k=4)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
