@@ -219,3 +219,43 @@ def test_corpus_vocab_topk_and_ties(spark):
     # global top-k must plan as TakeOrderedAndProject, not a full sort
     plan = CP.corpus_vocab(docs, top_k=4)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_repetition_matches_python_reference(spark):
+    """Property test: repetition_signals vs an independent pure-Python
+    model over randomized word lists (third implementation besides the
+    DuckDB oracle)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(42)
+    vocab = ["aa", "bee", "cede", "dd", "e"]
+    rows = []
+    for doc_id in range(40):
+        n = rng.randint(0, 30)
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    def expected(text):
+        words = text.split() if text.strip() else []
+        n_chars = max(len(text), 1)
+        out = {}
+        for n, key in [(2, "top2gram_frac"), (3, "top3gram_frac")]:
+            grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+            if grams:
+                c = Counter(grams)
+                top = max(c.items(), key=lambda kv: (kv[1], kv[0]))
+                out[key] = round(top[1] * len(top[0]) / n_chars, 6)
+            else:
+                out[key] = 0.0
+        g5 = Counter(" ".join(words[i : i + 5]) for i in range(len(words) - 4))
+        dup = sum(c * len(g) for g, c in g5.items() if c > 1)
+        out["dup5gram_frac"] = round(min(dup / n_chars, 1.0), 6)
+        out["uniq_word_frac"] = round(len(set(words)) / len(words), 6) if words else 0.0
+        return out
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in Q.repetition_signals(docs).collect()}
+    for doc_id, text in rows:
+        exp = expected(text)
+        for k, v in exp.items():
+            assert got[doc_id][k] == v, (doc_id, k, got[doc_id][k], v, text)
