@@ -849,6 +849,25 @@ def q_text_sample_hash(spark, sf_dir):
     return Q.deterministic_sample(_docs(spark, sf_dir))
 
 
+def q_text_redact_pii(spark, sf_dir):
+    """PII scrub over documents with deterministic injected PII (derived
+    from doc_id so the DuckDB twin constructs the identical input): one
+    email, one IPv4, one phone per doc."""
+    docs = _docs(spark, sf_dir)
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" or +1-555-123-4567"),
+        ).alias("text"),
+    )
+    return Q.redact_pii(pii)
+
+
 def q_decontaminate(spark, sf_dir):
     """GPT-3/PaLM-style train/test decontamination: benchmark = every 50th
     document; word-8-gram overlap flags those docs plus their near-dup
@@ -989,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_quality_filter": q_text_quality_filter,
         "text_sample_hash": q_text_sample_hash,
+        "text_redact_pii": q_text_redact_pii,
         "decontaminate": q_decontaminate,
         "corpus_pack_shards": q_corpus_pack_shards,
         "corpus_vocab": q_corpus_vocab,
@@ -2215,6 +2235,38 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, sample_hash FROM h WHERE substring(sample_hash, 1, 1) < '4'
+        """,
+        "text_redact_pii": """
+            WITH p AS (
+              SELECT doc_id,
+                     text || ' reach doc' || doc_id::VARCHAR || '@example.com at 10.0.0.'
+                          || (doc_id % 256)::VARCHAR || ' or +1-555-123-4567' AS t
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) - 1 AS n_email,
+                     regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') AS t1
+              FROM p
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_split_to_array(t1,
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) - 1 AS n_ipv4,
+                     regexp_replace(t1,
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                         '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '\\+\\d{1,3}-\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g')
+                     AS redacted,
+                   CAST(n_email AS BIGINT) AS n_email,
+                   CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_split_to_array(t2,
+                        '\\+\\d{1,3}-\\d{3}-\\d{3}-\\d{4}')) - 1 AS BIGINT) AS n_phone
+            FROM s2
         """,
         "decontaminate": f"""
             WITH w AS (

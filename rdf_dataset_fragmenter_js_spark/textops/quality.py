@@ -298,6 +298,41 @@ def quality_filter(
     )
 
 
+# PII patterns, deliberately restricted to the regex subset with IDENTICAL
+# semantics in Java regex (Spark) and RE2 (DuckDB): character classes,
+# bounded repetition, \b ASCII word boundaries — no lookaround, no
+# backreferences. Applied in this dict order (email first so an address's
+# host part is never half-eaten by the IP pass).
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d{1,3}-\d{3}-\d{3}-\d{4}", "<PHONE>"),
+}
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction — the standard pre-training scrub: replace emails,
+    IPv4 addresses, and international phone numbers with typed placeholder
+    tokens and report per-document match counts. Pure ``regexp_replace`` /
+    split-count Column chains (shuffle-free scan, whole-stage codegen);
+    patterns live in :data:`PII_PATTERNS` and are restricted to the
+    Java-regex ∩ RE2 subset so an independent SQL twin matches exactly."""
+    text = F.col(text_col)
+    counts = []
+    redacted = text
+    for kind, (pat, token) in PII_PATTERNS.items():
+        # non-overlapping match count BEFORE this redaction pass
+        counts.append(
+            (F.size(F.split(redacted, pat)) - 1).cast("long").alias(f"n_{kind}")
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), redacted.alias("redacted"), *counts
+    )
+
+
 def deterministic_sample(
     docs: DataFrame,
     id_col: str = "doc_id",

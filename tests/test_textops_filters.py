@@ -259,3 +259,28 @@ def test_repetition_matches_python_reference(spark):
         exp = expected(text)
         for k, v in exp.items():
             assert got[doc_id][k] == v, (doc_id, k, got[doc_id][k], v, text)
+
+
+def test_redact_pii_patterns(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@sub.example.org and d@e.io now"),
+            (1, "hosts 10.0.0.1 and 192.168.255.3, call +44-207-946-0958"),
+            (2, "clean text with no pii at all"),
+            (3, "v1.2.3.4 is a version-ish string"),  # \b makes it match
+            (4, "+1-555-123-4567 +999-111-222-3333"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in Q.redact_pii(docs).collect()}
+    assert out[0]["redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[0]["n_email"] == 2 and out[0]["n_ipv4"] == 0
+    assert out[1]["redacted"] == "hosts <IP> and <IP>, call <PHONE>"
+    assert (out[1]["n_ipv4"], out[1]["n_phone"]) == (2, 1)
+    assert out[2]["redacted"] == "clean text with no pii at all"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    # \b is between word chars 'v' and '1' -> NO boundary, so a version-ish
+    # "v1.2.3.4" is (desirably) NOT treated as an IP — same in Java and RE2
+    assert out[3]["redacted"] == "v1.2.3.4 is a version-ish string"
+    assert out[3]["n_ipv4"] == 0
+    assert out[4]["redacted"] == "<PHONE> <PHONE>"
