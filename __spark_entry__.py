@@ -878,6 +878,15 @@ def q_decontaminate(spark, sf_dir):
     return CP.decontaminate(docs, bench, n=8)
 
 
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """MinHash/LSH fuzzy decontamination vs the every-50th-doc benchmark:
+    any shared band key flags the doc. Oracle reuses the dedup SQL chain
+    (shingles → signature → banded) with a benchmark band-set semi-join."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return CP.decontaminate_fuzzy(docs, bench, k=8, bands=4, shingle_size=8)
+
+
 def q_corpus_pack_shards(spark, sf_dir):
     """Token-budget shard packing: fixed-order first-fit within each lang
     stream (one window partitioned by stream — parallel across streams)."""
@@ -1010,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample_hash": q_text_sample_hash,
         "text_redact_pii": q_text_redact_pii,
         "decontaminate": q_decontaminate,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "corpus_pack_shards": q_corpus_pack_shards,
         "corpus_vocab": q_corpus_vocab,
         "corpus_prepare": q_corpus_prepare,
@@ -2283,6 +2293,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(coalesce(h.c, 0) AS BIGINT) AS n_contaminated_grams,
                    coalesce(h.c, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "decontaminate_fuzzy": f"""
+            WITH {_SHINGLES.strip().rstrip()},
+            {_MINHASH_SIG},
+            {_BANDED},
+            bench_bands AS (
+              SELECT DISTINCT band, band_key FROM banded WHERE doc_id % 50 = 0
+            ), hits AS (
+              SELECT DISTINCT b.doc_id FROM banded b
+              JOIN bench_bands USING (band, band_key)
+            )
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "corpus_pack_shards": """

@@ -100,6 +100,49 @@ def pack_shards(
     )
 
 
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    shingle_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy train/test decontamination: flag training documents whose
+    MinHash signature shares ANY LSH band with a benchmark document —
+    catching paraphrased/partially-edited benchmark leakage that exact
+    n-gram overlap (:func:`decontaminate`) misses. Returns one row per
+    input document: ``(doc_id, contaminated)``.
+
+    Scale shape: both sides reuse :func:`~.dedup.banded_signatures`; the
+    benchmark band-key set (bands × |benchmark| rows, tiny vs the corpus)
+    is distinct-ed and explicitly ``F.broadcast``, so the corpus side is a
+    scan → shingle → signature pipeline filtered in-stage — the corpus
+    never shuffles to a join. If the benchmark rows are also present in
+    ``docs`` they flag themselves, which is the correct semantics (they
+    ARE the benchmark)."""
+    from rdf_dataset_fragmenter_js_spark.textops.dedup import banded_signatures
+
+    db = banded_signatures(
+        docs, k=k, bands=bands, shingle_size=shingle_size, id_col=id_col, text_col=text_col
+    )
+    bb = banded_signatures(
+        benchmark, k=k, bands=bands, shingle_size=shingle_size, id_col=id_col, text_col=text_col
+    ).select("band", "band_key").distinct()
+    hits = (
+        db.join(F.broadcast(bb), ["band", "band_key"])
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select("doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated"))
+    )
+
+
 def corpus_vocab(
     docs: DataFrame,
     top_k: int = 1000,

@@ -92,6 +92,39 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def banded_signatures(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    shingle_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH band keys per document: the k-row MinHash signature split into
+    ``bands`` bands of ``k/bands`` rows, each band hashed to one key —
+    (doc_id, band, band_key). Shared by the dedup self-join and the fuzzy
+    decontamination corpus×benchmark join."""
+    assert k % bands == 0
+    rows = k // bands
+    sig = minhash_signatures(
+        docs, k=k, shingle_size=shingle_size, id_col=id_col, text_col=text_col
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                ).cast("binary")
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col("doc_id"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     k: int = 8,
@@ -104,21 +137,9 @@ def lsh_candidate_pairs(
     rows; docs sharing ANY band key are candidates. Returns distinct
     (doc_a, doc_b) with doc_a < doc_b. The self-join is keyed on the band
     hash — co-located by the shuffle, never all-pairs."""
-    assert k % bands == 0
-    rows = k // bands
-    sig = minhash_signatures(docs, k=k, shingle_size=shingle_size, id_col=id_col, text_col=text_col)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]).cast("binary")
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        F.col("doc_id"), F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", "bk.band", "bk.band_key")
+    banded = banded_signatures(
+        docs, k=k, bands=bands, shingle_size=shingle_size, id_col=id_col, text_col=text_col
+    )
     # Self-join: without materialization Spark recomputes the whole
     # shingle→minhash pipeline for BOTH sides. Persist the (tiny: bands rows
     # per doc) banded signatures so the upstream runs once. At the 100 TB

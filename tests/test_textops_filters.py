@@ -284,3 +284,32 @@ def test_redact_pii_patterns(spark):
     assert out[3]["redacted"] == "v1.2.3.4 is a version-ish string"
     assert out[3]["n_ipv4"] == 0
     assert out[4]["redacted"] == "<PHONE> <PHONE>"
+
+
+def test_decontaminate_fuzzy_catches_near_dups(spark):
+    from rdf_dataset_fragmenter_js_spark.textops import corpus as CP
+
+    base = " ".join(f"tok{i:03d}" for i in range(40))  # 40 distinct words
+    edited = base.replace("tok020", "EDITED")  # near-dup of the benchmark
+    docs = spark.createDataFrame(
+        [
+            (0, base),  # verbatim benchmark copy
+            (1, edited),  # paraphrased-ish: most shingles shared
+            (2, " ".join(f"zzz{i:03d}" for i in range(40))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], docs.schema)
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in CP.decontaminate_fuzzy(docs, bench).collect()
+    }
+    assert out == {0: True, 1: True, 2: False}
+    # benchmark band-set must be the broadcast side
+    plan = (
+        CP.decontaminate_fuzzy(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
