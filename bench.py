@@ -36,8 +36,11 @@ HEADLINE = [
     "text_quality",
     "text_repetition",
     "text_quality_filter",
+    "text_redact_pii",
     "decontaminate",
+    "decontaminate_fuzzy",
     "corpus_pack_shards",
+    "corpus_vocab",
     "sim_cosine_topk",
     "events_sessionize",
 ]
