@@ -893,6 +893,12 @@ def q_corpus_pack_shards(spark, sf_dir):
     return CP.pack_shards(_docs(spark, sf_dir), budget_tokens=2000)
 
 
+def q_text_top_terms(spark, sf_dir):
+    """Per-doc salient terms: tf desc, rarity (corpus df) asc, word asc —
+    integer-exact ranking (no transcendental floats to disagree on)."""
+    return CP.top_terms(_docs(spark, sf_dir), k=3)
+
+
 def q_corpus_vocab(spark, sf_dir):
     """Corpus-level top-k vocabulary (BPE/tokenizer seeding): one hash agg
     keyed on word, then TakeOrderedAndProject — never a full sort."""
@@ -1021,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "corpus_pack_shards": q_corpus_pack_shards,
+        "text_top_terms": q_text_top_terms,
         "corpus_vocab": q_corpus_vocab,
         "corpus_prepare": q_corpus_prepare,
         "sink_hdt_roundtrip": q_sink_hdt_roundtrip,
@@ -2319,6 +2326,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id) - ntok)
                               / 2000.0) AS BIGINT) AS shard_id
             FROM t
+        """,
+        "text_top_terms": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                                 ELSE regexp_split_to_array(trim(text), '\\s+') END) AS word
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, word, count(*) AS tf FROM t GROUP BY ALL
+            ), df AS (
+              SELECT word, count(DISTINCT doc_id) AS df FROM t GROUP BY word
+            )
+            SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (
+              SELECT doc_id, word, tf, df,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tf DESC, df ASC, word ASC) AS rn
+              FROM tf JOIN df USING (word))
+            WHERE rn <= 3
         """,
         "corpus_vocab": """
             WITH t AS (

@@ -174,6 +174,48 @@ def corpus_vocab(
     )
 
 
+def top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document salient terms — the tf-idf-style keyword extraction of
+    retrieval/labeling pipelines, ranked INTEGER-EXACTLY: term frequency
+    descending, then corpus document-frequency ascending (rarer wins), then
+    the word itself. A float tf·idf score would hinge on ``ln`` being
+    bit-identical across engines (Java's ``Math.log`` is only 1-ulp
+    accurate), so the ranking deliberately stays in integers; the (tf, df)
+    columns let callers compute any idf weighting downstream.
+
+    Scale shape: one explode feeds BOTH aggregations (per-doc tf and
+    corpus df — Catalyst shares the scan); the df table is vocabulary-sized
+    and joins on word (a standard shuffle join — vocabularies can exceed
+    broadcast size at corpus scale); the per-doc top-k is a window over
+    (doc, term) rows, partitioned by doc — never a global sort."""
+    from pyspark.sql import Window
+
+    words = _words_col(F.col(text_col))
+    t = docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("word"))
+    tf = t.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = t.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("word").asc()
+    )
+    return (
+        tf.join(df, "word")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
 def prepare_corpus(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -313,3 +313,26 @@ def test_decontaminate_fuzzy_catches_near_dups(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_top_terms_tf_then_rarity(spark):
+    from rdf_dataset_fragmenter_js_spark.textops import corpus as CP
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x common rare common"),  # tf: x=3, common=2, rare=1
+            (2, "common common y"),  # tf: common=2, y=1
+        ],
+        "doc_id long, text string",
+    )
+    # corpus df: x=1, common=2, rare=1, y=1
+    out = {
+        (r["doc_id"], r["rank"]): (r["word"], r["tf"], r["df"])
+        for r in CP.top_terms(docs, k=2).collect()
+    }
+    assert out[(1, 1)] == ("x", 3, 1)
+    assert out[(1, 2)] == ("common", 2, 2)
+    # doc 2: common tf=2 first; y tf=1 beats nothing else
+    assert out[(2, 1)] == ("common", 2, 2)
+    assert out[(2, 2)] == ("y", 1, 1)
+    assert len(out) == 4
