@@ -32,24 +32,25 @@ def decontaminate(
 
     Scale shape: the benchmark n-gram set is benchmark-sized (thousands of
     docs) while the corpus is the 100-TB side, so the benchmark side is
-    distinct-ed and explicitly ``F.broadcast`` — the corpus side is a single
-    scan + explode with a per-doc dropDuplicates, one map-side-combinable
-    hash agg on doc_id, and a final doc_id-keyed left join back. No shuffle
-    ever carries the corpus n-gram explosion to a join — the broadcast hash
-    join filters it in-stage."""
+    distinct-ed and explicitly ``F.broadcast`` — and the broadcast join runs
+    BEFORE any dedup, so the corpus n-gram explosion is filtered in-stage
+    and the only data that ever shuffles is the (tiny) contaminated-gram
+    hit set: distinct-per-doc on the hits, one map-side-combinable hash agg
+    on doc_id, and a final doc_id-keyed left join back. Filtering before
+    distinct is semantics-preserving (distinct∘filter ≡ filter∘distinct for
+    a per-row predicate) and turns a corpus-sized shuffle into a hit-sized
+    one."""
     text = F.col(text_col)
     bgrams = benchmark.select(
         F.explode(_word_ngrams(_words_col(text), n)).alias("gram")
     ).distinct()
-    dgrams = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(_word_ngrams(_words_col(text), n)).alias("gram"),
-        )
-        .dropDuplicates(["doc_id", "gram"])
+    dgrams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_ngrams(_words_col(text), n)).alias("gram"),
     )
     hits = (
         dgrams.join(F.broadcast(bgrams), "gram")
+        .dropDuplicates(["doc_id", "gram"])
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
